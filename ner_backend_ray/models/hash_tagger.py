@@ -1,0 +1,215 @@
+"""Deterministic BOLT-style hash-embedding token classifier + CRF decode.
+
+From-scratch re-implementation of the reference's production tagger *contract*
+(internal/core/onnx.go:147-303): CleanTextWithSpans → tokenize → per-subtoken
+emissions (here: hashed token/shape feature buckets instead of an ONNX CNN; the
+hash-bucket design follows the BOLT UDT idea referenced in
+internal/core/bolt/bolt_unix.go:41-74 — hash token → bucket, no stored vocab) →
+CRF ViterbiDecode (onnx.go:62-108) → subword→word alignment (getWordIds,
+onnx.go:110-130) → first-non-O aggregation (onnx.go:132-145) → entities at
+*original* byte offsets (onnx.go:283-296).
+
+Everything is deterministic: weights are a pure function of the (surface, label)
+vocabulary passed at construction (crc32 feature hashing, fixed seeds), so a
+single-threaded oracle and a distributed actor pool produce identical output.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from ..core.clean import clean_text_with_spans
+from ..core.crf import CRF, aggregate_predictions, get_word_ids
+from ..core.entity import Entity, create_entity
+from .base import register_tagger
+
+# internal/core/onnx.go:33-38 — the reference label set.
+IDX2TAG = [
+    "ADDRESS", "CARD_NUMBER", "COMPANY", "CREDIT_SCORE", "DATE",
+    "EMAIL", "ETHNICITY", "GENDER", "ID_NUMBER", "LICENSE_PLATE",
+    "LOCATION", "NAME", "O", "PHONENUMBER", "SERVICE_CODE",
+    "SEXUAL_ORIENTATION", "SSN", "URL", "VIN",
+]
+TAG2IDX = {t: i for i, t in enumerate(IDX2TAG)}
+O_IDX = TAG2IDX["O"]
+NUM_TAGS = len(IDX2TAG)
+
+_N_BUCKETS = 1 << 20
+_TOK_SALT = b"tok\x00"
+_SHAPE_SALT = b"shape\x00"
+
+_SHAPE_TABLE = bytes(
+    (57 if 48 <= c <= 57 else          # digit -> '9'
+     97 if 97 <= c <= 122 else         # lower -> 'a'
+     65 if 65 <= c <= 90 else          # upper -> 'A'
+     c)
+    for c in range(256)
+)
+
+
+def _h(salt: bytes, data: bytes) -> int:
+    return zlib.crc32(salt + data) % _N_BUCKETS
+
+
+def _shape(token: bytes) -> bytes:
+    return token.translate(_SHAPE_TABLE)
+
+
+def _subtokens(token: bytes, start: int) -> list[tuple[int, int]]:
+    """Split a cleaned token into subword pieces (digit / alpha / other runs),
+    exercising the reference's subword→word alignment path. Offsets are into the
+    cleaned text."""
+    if len(token) <= 3:
+        return [(start, start + len(token))]
+    pieces: list[tuple[int, int]] = []
+    run_start = 0
+
+    def klass(c: int) -> int:
+        if 48 <= c <= 57:
+            return 0
+        if 65 <= c <= 90 or 97 <= c <= 122:
+            return 1
+        return 2
+
+    cur = klass(token[0])
+    for i in range(1, len(token)):
+        k = klass(token[i])
+        if k != cur:
+            pieces.append((start + run_start, start + i))
+            run_start = i
+            cur = k
+    pieces.append((start + run_start, start + len(token)))
+    return pieces
+
+
+class HashEmbeddingTagger:
+    """Gazetteer-hash + shape-hash emission model with CRF decode.
+
+    "Training" is a closed-form accumulation over the vocabulary: each (surface,
+    label) pair is cleaned and tokenized, and every token adds weight to its
+    exact-token bucket and its shape bucket for that label. Exact-token hits get a
+    much larger weight than shape hits, so gazetteer matches dominate; shape
+    generalizes to unseen numbers (phones, SSNs, cards, ISO dates...).
+    """
+
+    EXACT_W = np.float32(8.0)
+    SHAPE_W = np.float32(1.0)
+    O_BIAS = np.float32(2.0)
+
+    def __init__(self, vocab: list[tuple[str, str]], o_vocab: list[str] | None = None):
+        tok_table: dict[int, np.ndarray] = {}
+        shape_counts: dict[int, np.ndarray] = {}
+
+        def add(table: dict[int, np.ndarray], bucket: int, tag_idx: int, w: float):
+            vec = table.get(bucket)
+            if vec is None:
+                vec = np.zeros(NUM_TAGS, dtype=np.float32)
+                table[bucket] = vec
+            vec[tag_idx] += w
+
+        label_tok_counts: dict[str, int] = {}
+        pairs: list[tuple[bytes, str]] = []
+        for surface, label in vocab:
+            if label not in TAG2IDX:
+                raise ValueError(f"unknown label {label!r}")
+            b = surface.encode("utf-8") if isinstance(surface, str) else surface
+            cleaned, _, spans = clean_text_with_spans(b)
+            toks = [cleaned[s:e] for s, e in spans]
+            pairs.append((b, label))
+            label_tok_counts[label] = label_tok_counts.get(label, 0) + len(toks)
+            for tok in toks:
+                add(tok_table, _h(_TOK_SALT, tok.lower()), TAG2IDX[label], 1.0)
+
+        # Shape weights are frequency-normalized per label so a label with many
+        # vocabulary entries doesn't steamroll a rarer label sharing the shape.
+        for b, label in pairs:
+            cleaned, _, spans = clean_text_with_spans(b)
+            norm = 1.0 / max(1, label_tok_counts[label])
+            for s, e in spans:
+                add(shape_counts, _h(_SHAPE_SALT, _shape(cleaned[s:e])), TAG2IDX[label], norm)
+
+        for word in (o_vocab or []):
+            wb = word.encode("utf-8") if isinstance(word, str) else word
+            add(tok_table, _h(_TOK_SALT, wb.lower()), O_IDX, 1.0)
+
+        # Collapse to winner-take-all score vectors (argmax label per bucket).
+        self.tok_scores: dict[int, np.ndarray] = {}
+        for bucket, counts in tok_table.items():
+            vec = np.zeros(NUM_TAGS, dtype=np.float32)
+            vec[int(counts.argmax())] = self.EXACT_W
+            self.tok_scores[bucket] = vec
+        self.shape_scores: dict[int, np.ndarray] = {}
+        for bucket, counts in shape_counts.items():
+            vec = np.zeros(NUM_TAGS, dtype=np.float32)
+            vec[int(counts.argmax())] = self.SHAPE_W
+            self.shape_scores[bucket] = vec
+
+        transitions = np.zeros((NUM_TAGS, NUM_TAGS), dtype=np.float32)
+        np.fill_diagonal(transitions, 0.5)  # same-label continuation bonus
+        self.crf = CRF(transitions, np.zeros(NUM_TAGS, np.float32), np.zeros(NUM_TAGS, np.float32))
+
+    def _emissions(self, cleaned: bytes, sub_offsets: list[tuple[int, int]],
+                   word_of_sub: list[int], word_spans: list[tuple[int, int]]) -> np.ndarray:
+        em = np.zeros((len(sub_offsets), NUM_TAGS), dtype=np.float32)
+        em[:, O_IDX] = self.O_BIAS
+        for i, (s, e) in enumerate(sub_offsets):
+            ws, we = word_spans[word_of_sub[i]]
+            word = cleaned[ws:we]
+            vec = self.tok_scores.get(_h(_TOK_SALT, word.lower()))
+            if vec is not None:
+                em[i] += vec
+            svec = self.shape_scores.get(_h(_SHAPE_SALT, _shape(word)))
+            if svec is not None:
+                em[i] += svec
+            piece = cleaned[s:e]
+            if piece != word:
+                pvec = self.tok_scores.get(_h(_TOK_SALT, piece.lower()))
+                if pvec is not None:
+                    em[i] += 0.5 * pvec
+        return em
+
+    def predict(self, text: bytes) -> list[Entity]:
+        cleaned, original_spans, cleaned_spans = clean_text_with_spans(text)
+        if not cleaned_spans:
+            return []
+
+        sub_offsets: list[tuple[int, int]] = []
+        word_of_sub: list[int] = []
+        for wid, (s, e) in enumerate(cleaned_spans):
+            for piece in _subtokens(cleaned[s:e], s):
+                sub_offsets.append(piece)
+                word_of_sub.append(wid)
+
+        em = self._emissions(cleaned, sub_offsets, word_of_sub, cleaned_spans)
+        tag_idx = self.crf.viterbi_decode(em)
+        sub_tags = [IDX2TAG[i] for i in tag_idx]
+
+        word_ids = get_word_ids(cleaned_spans, sub_offsets)
+        word_tags = aggregate_predictions(sub_tags, word_ids, len(cleaned_spans))
+
+        ents: list[Entity] = []
+        for wid, tag in enumerate(word_tags):
+            if tag == "O":
+                continue
+            s, e = original_spans[wid]
+            ents.append(create_entity(tag, text, s, e))
+        return ents
+
+
+def build_default_tagger(alias_path: str | None = None) -> HashEmbeddingTagger:
+    """Build the tagger from the deterministic fixture vocabulary (and optionally
+    the alias dictionary parquet). Loaded once per actor in ``__init__`` — the
+    reference's download-once/load-per-task pattern (processor.go:408-436), strictly
+    amortized over the actor lifetime."""
+    from ..fixtures.pools import tagger_vocab, o_vocab
+    vocab = tagger_vocab()
+    if alias_path is not None:
+        import pyarrow.parquet as pq
+        t = pq.read_table(alias_path, columns=["surface_form", "label"])
+        vocab = vocab + list(zip(t["surface_form"].to_pylist(), t["label"].to_pylist()))
+    return HashEmbeddingTagger(vocab, o_vocab())
+
+
+register_tagger("hash_embedding", lambda alias_path=None: build_default_tagger(alias_path))

@@ -1,0 +1,149 @@
+"""Canonicalization: salted groupby-aggregate on entity keys + MinHash alias
+clustering, then node/edge materialization.
+
+North-rule stage (SURVEY.md §2.5 A9, §2.7 D4/D5; no reference analog). Design:
+
+1. **Node aggregation** is a two-phase (combiner) aggregate: ``map_batches`` first
+   reduces each Arrow batch to distinct (entity_key, label, surface, partial_count)
+   rows — this is the implicit salt: a hot key contributes at most one row per
+   (batch, surface), so the subsequent ``groupby("entity_key")`` shuffle moves
+   partials, not mentions. Head-domain / high-frequency-entity skew therefore never
+   concentrates raw mention rows on one reducer.
+2. **MinHash-LSH alias clustering** merges near-duplicate *unlinked* surface keys:
+   char-3-gram shingles → k=32 minhashes (crc32 with per-permutation salts) → b=8
+   bands of r=4 → ``groupby(band, band_hash)`` buckets → verified Jaccard >= 0.5
+   pairs → min-label propagation to connected-component roots. The mapping (only
+   keys that actually cluster) is small and is broadcast, not joined.
+3. **canonical_id** = "e:" + blake2b(root_key)[:16], so ids are a pure function of
+   cluster membership (deterministic across runs and partitionings).
+4. **Edges**: triples → (subj_id, pred, obj_id) via the broadcast mapping →
+   per-batch partial counts (combiner again) → ``groupby`` sum → weight.
+
+Outputs are sorted by canonical id (global shuffle sort) before write.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # k = bands * rows
+_JACCARD_THRESHOLD = 0.5
+
+_SALTS = [f"mh{i}\x00".encode() for i in range(MINHASH_K)]
+
+
+def canonical_id(root_key: str) -> str:
+    return "e:" + hashlib.blake2b(root_key.encode("utf-8"), digest_size=8).hexdigest()
+
+
+def _shingles(s: str) -> set[bytes]:
+    b = (" " + s + " ").encode("utf-8")
+    if len(b) <= 3:
+        return {b}
+    return {b[i:i + 3] for i in range(len(b) - 2)}
+
+
+def minhash_signature(key: str) -> np.ndarray:
+    sh = _shingles(key)
+    sig = np.empty(MINHASH_K, dtype=np.uint32)
+    for i, salt in enumerate(_SALTS):
+        sig[i] = min(zlib.crc32(salt + g) for g in sh)
+    return sig
+
+
+def lsh_band_rows(key: str) -> list[tuple[int, int]]:
+    """(band_id, band_hash) pairs for a surface key."""
+    sig = minhash_signature(key)
+    out = []
+    for b in range(LSH_BANDS):
+        band = sig[b * LSH_ROWS:(b + 1) * LSH_ROWS]
+        out.append((b, zlib.crc32(band.tobytes())))
+    return out
+
+
+def jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+
+# ------------------------- batch-level (combiner) kernels -------------------------
+
+def partial_node_counts(batch: pa.Table) -> pa.Table:
+    """Combiner: mentions-with-entity_key batch → distinct
+    (entity_key, label, surface, partial_count) rows."""
+    agg: dict[tuple[str, str, str], int] = {}
+    for key, label, text in zip(batch["entity_key"].to_pylist(),
+                                batch["label"].to_pylist(),
+                                batch["text"].to_pylist()):
+        k = (key, label, text)
+        agg[k] = agg.get(k, 0) + 1
+    keys = list(agg)
+    return pa.table({
+        "entity_key": pa.array([k[0] for k in keys], pa.string()),
+        "label": pa.array([k[1] for k in keys], pa.string()),
+        "surface": pa.array([k[2] for k in keys], pa.string()),
+        "partial_count": pa.array([agg[k] for k in keys], pa.int64()),
+    })
+
+
+def finalize_node_group(group: pa.Table) -> pa.Table:
+    """map_groups over entity_key: elect label by count, collect surface forms."""
+    key = group["entity_key"][0].as_py()
+    total = int(pc.sum(group["partial_count"]).as_py())
+    label_counts: dict[str, int] = {}
+    surfaces: set[str] = set()
+    for label, surface, cnt in zip(group["label"].to_pylist(),
+                                   group["surface"].to_pylist(),
+                                   group["partial_count"].to_pylist()):
+        label_counts[label] = label_counts.get(label, 0) + cnt
+        surfaces.add(surface)
+    label = max(sorted(label_counts), key=lambda x: label_counts[x])
+    return pa.table({
+        "entity_key": pa.array([key], pa.string()),
+        "label": pa.array([label], pa.string()),
+        "surface_forms": pa.array([sorted(surfaces)], pa.list_(pa.string())),
+        "mention_count": pa.array([total], pa.int64()),
+    })
+
+
+def bucket_pairs(group: pa.Table) -> pa.Table:
+    """map_groups over (band, band_hash): emit verified near-dup (key, root) edges,
+    root = lexicographic min of the verified pair."""
+    keys = sorted(set(group["entity_key"].to_pylist()))
+    out_key, out_root = [], []
+    n = len(keys)
+    if n > 1 and n <= 256:  # degenerate mega-bucket guard; log-dropped upstream
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = keys[i], keys[j]
+                if jaccard(a[5:], b[5:]) >= _JACCARD_THRESHOLD:  # strip "surf:"
+                    out_key.append(b)
+                    out_root.append(a)
+    return pa.table({"entity_key": pa.array(out_key, pa.string()),
+                     "root": pa.array(out_root, pa.string())})
+
+
+def resolve_roots(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find over the (small) verified near-dup edge list → key → root map."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for k, r in edges:
+        rk, rr = find(k), find(r)
+        if rk != rr:
+            a, b = sorted((rk, rr))
+            parent[b] = a
+    return {k: find(k) for k in parent}
