@@ -39,6 +39,7 @@ NUM_TAGS = len(IDX2TAG)
 _N_BUCKETS = 1 << 20
 _TOK_SALT = b"tok\x00"
 _SHAPE_SALT = b"shape\x00"
+_CSHAPE_SALT = b"cshape\x00"
 
 _SHAPE_TABLE = bytes(
     (57 if 48 <= c <= 57 else          # digit -> '9'
@@ -55,6 +56,23 @@ def _h(salt: bytes, data: bytes) -> int:
 
 def _shape(token: bytes) -> bytes:
     return token.translate(_SHAPE_TABLE)
+
+
+def _collapse_shape(token: bytes) -> bytes:
+    """Run-collapsed shape ("012-345-6789" → "9-9-9", "a.b@c.d" → "a.a@a.a") —
+    generalizes over variable-length formats (emails, URLs)."""
+    shaped = token.translate(_SHAPE_TABLE)
+    out = bytearray()
+    prev = -1
+    for c in shaped:
+        if c != prev:
+            out.append(c)
+            prev = c
+    return bytes(out)
+
+
+def _is_alpha(token: bytes) -> bool:
+    return token.isalpha() or not token.isascii() and token.replace(b" ", b"").isalpha()
 
 
 def _subtokens(token: bytes, start: int) -> list[tuple[int, int]]:
@@ -95,12 +113,14 @@ class HashEmbeddingTagger:
     """
 
     EXACT_W = np.float32(8.0)
-    SHAPE_W = np.float32(1.0)
-    O_BIAS = np.float32(2.0)
+    XSHAPE_W = np.float32(2.0)
+    CSHAPE_W = np.float32(1.5)
+    O_BIAS = np.float32(1.0)
 
     def __init__(self, vocab: list[tuple[str, str]], o_vocab: list[str] | None = None):
         tok_table: dict[int, np.ndarray] = {}
-        shape_counts: dict[int, np.ndarray] = {}
+        xshape_counts: dict[int, np.ndarray] = {}
+        cshape_counts: dict[int, np.ndarray] = {}
 
         def add(table: dict[int, np.ndarray], bucket: int, tag_idx: int, w: float):
             vec = table.get(bucket)
@@ -122,13 +142,20 @@ class HashEmbeddingTagger:
             for tok in toks:
                 add(tok_table, _h(_TOK_SALT, tok.lower()), TAG2IDX[label], 1.0)
 
-        # Shape weights are frequency-normalized per label so a label with many
-        # vocabulary entries doesn't steamroll a rarer label sharing the shape.
+        # Shape features apply only to tokens with non-alpha characters (numbers,
+        # emails, URLs, plates...): pure-alpha words are gazetteer-or-O, so unknown
+        # capitalized words never get spurious labels. Shape weights are
+        # frequency-normalized per label so a label with many vocabulary entries
+        # doesn't steamroll a rarer label sharing the shape.
         for b, label in pairs:
             cleaned, _, spans = clean_text_with_spans(b)
             norm = 1.0 / max(1, label_tok_counts[label])
             for s, e in spans:
-                add(shape_counts, _h(_SHAPE_SALT, _shape(cleaned[s:e])), TAG2IDX[label], norm)
+                tok = cleaned[s:e]
+                if tok.isalpha():
+                    continue
+                add(xshape_counts, _h(_SHAPE_SALT, _shape(tok)), TAG2IDX[label], norm)
+                add(cshape_counts, _h(_CSHAPE_SALT, _collapse_shape(tok)), TAG2IDX[label], norm)
 
         for word in (o_vocab or []):
             wb = word.encode("utf-8") if isinstance(word, str) else word
@@ -140,11 +167,16 @@ class HashEmbeddingTagger:
             vec = np.zeros(NUM_TAGS, dtype=np.float32)
             vec[int(counts.argmax())] = self.EXACT_W
             self.tok_scores[bucket] = vec
-        self.shape_scores: dict[int, np.ndarray] = {}
-        for bucket, counts in shape_counts.items():
+        self.xshape_scores: dict[int, np.ndarray] = {}
+        for bucket, counts in xshape_counts.items():
             vec = np.zeros(NUM_TAGS, dtype=np.float32)
-            vec[int(counts.argmax())] = self.SHAPE_W
-            self.shape_scores[bucket] = vec
+            vec[int(counts.argmax())] = self.XSHAPE_W
+            self.xshape_scores[bucket] = vec
+        self.cshape_scores: dict[int, np.ndarray] = {}
+        for bucket, counts in cshape_counts.items():
+            vec = np.zeros(NUM_TAGS, dtype=np.float32)
+            vec[int(counts.argmax())] = self.CSHAPE_W
+            self.cshape_scores[bucket] = vec
 
         transitions = np.zeros((NUM_TAGS, NUM_TAGS), dtype=np.float32)
         np.fill_diagonal(transitions, 0.5)  # same-label continuation bonus
@@ -160,9 +192,13 @@ class HashEmbeddingTagger:
             vec = self.tok_scores.get(_h(_TOK_SALT, word.lower()))
             if vec is not None:
                 em[i] += vec
-            svec = self.shape_scores.get(_h(_SHAPE_SALT, _shape(word)))
-            if svec is not None:
-                em[i] += svec
+            if not word.isalpha():
+                svec = self.xshape_scores.get(_h(_SHAPE_SALT, _shape(word)))
+                if svec is not None:
+                    em[i] += svec
+                cvec = self.cshape_scores.get(_h(_CSHAPE_SALT, _collapse_shape(word)))
+                if cvec is not None:
+                    em[i] += cvec
             piece = cleaned[s:e]
             if piece != word:
                 pvec = self.tok_scores.get(_h(_TOK_SALT, piece.lower()))

@@ -1,0 +1,191 @@
+"""Operator unit tests with exact expected values, ported from the reference's own
+test vectors (SURVEY.md §5 layer 1)."""
+
+import numpy as np
+import pytest
+
+from ner_backend_ray.core.clean import clean_text_with_spans
+from ner_backend_ray.core.coalesce import coalesce_entities
+from ner_backend_ray.core.crf import CRF, aggregate_predictions, get_word_ids
+from ner_backend_ray.core.entity import Entity, create_entity, to_valid_utf8
+from ner_backend_ray.core.validators import filter_entities
+
+
+def make_token_entities(full_text: bytes, label: str) -> list[Entity]:
+    # postprocess_test.go:11-31 helper
+    entities = []
+    offset = 0
+    for w in full_text.split():
+        idx = full_text[offset:].find(w)
+        if idx < 0:
+            continue
+        start = offset + idx
+        end = start + len(w)
+        entities.append(Entity(label=label, text=w, start=start, end=end))
+        offset = end
+    return entities
+
+
+# ---------------- FilterEntities (postprocess_test.go) ----------------
+
+@pytest.mark.parametrize("text,want", [
+    (b"123-4567", True), (b"+1 800 555 1234 ext 567", True),
+    (b"12345", False), (b"12345678901234567890", False),
+    (b"ABC-DEF-GHIJ", False),
+])
+def test_filter_phone(text, want):
+    out = filter_entities(text, make_token_entities(text, "PHONENUMBER"))
+    assert (len(out) > 0) == want
+
+
+@pytest.mark.parametrize("text,want", [
+    (b"4111 1111 1111 1111", True), (b"5500-0000-0000-0004", True),
+    (b"1234 5678 901", False), (b"1234 5678 9012 3456 7890", False),
+    (b"4111 1111 1111 1112", False), (b"abcd-efgh-ijkl-mnop", False),
+])
+def test_filter_card(text, want):
+    out = filter_entities(text, make_token_entities(text, "CARD_NUMBER"))
+    assert (len(out) > 0) == want
+
+
+@pytest.mark.parametrize("text,want", [
+    (b"123-45-6789", True), (b"123 45 6789", True), (b"123456789", True),
+    (b"123-45-678", False), (b"1234-56-7890", False), (b"12a-45-6789", False),
+])
+def test_filter_ssn(text, want):
+    out = filter_entities(text, make_token_entities(text, "SSN"))
+    assert (len(out) > 0) == want
+
+
+@pytest.mark.parametrize("text,want", [
+    (b"john.doe@example.com", True), (b"user@localhost", True),
+    (b"johndoeexample.com", False), (b"a@b.com", False),
+    (b"ab@c", False), (b"ab@domaincom", False),
+])
+def test_filter_email(text, want):
+    ent = Entity(label="EMAIL", text=text, start=0, end=len(text))
+    out = filter_entities(text, [ent])
+    assert (len(out) == 1) == want
+
+
+@pytest.mark.parametrize("full,snippet,start,end,want", [
+    (b"My credit score is 750 and rising.", b"750", 17, 20, True),
+    (b"He scored 750 points yesterday.", b"750", 10, 13, False),
+    (b"This 800 number is high credit.", b"800", 5, 8, False),
+    (b"My credit score is 5.", b"5", 17, 18, False),
+    (b"Check credit score: 1000 exactly.", b"1000", 19, 23, False),
+])
+def test_filter_credit_score(full, snippet, start, end, want):
+    ent = Entity(label="CREDIT_SCORE", text=snippet, start=start, end=end)
+    out = filter_entities(full, [ent])
+    assert (len(out) == 1) == want
+
+
+def test_filter_keeps_other_labels():
+    ent = Entity(label="PERSON", text=b"Alice", start=0, end=5)
+    out = filter_entities(b"Alice went home.", [ent])
+    assert len(out) == 1 and out[0].label == "PERSON" and out[0].text == b"Alice"
+
+
+# ---------------- CRF decode + alignment (onnx_test.go) ----------------
+
+def test_crf_golden():
+    crf = CRF(
+        [[0.8, 0.5, 0.2, 0.1], [0.2, 0.4, 0.1, 0.3],
+         [0.3, 0.6, 0.9, 0.3], [0.9, 0.9, 0.9, 0.3]],
+        [0.7, 0.8, 0.0, 0.5], [0.4, 0.1, 0.3, 0.2])
+    emissions = [
+        [[0.2, 0.7, 0.1, 0.9], [0.1, 0.6, 0.8, 0.8],
+         [0.8, 0.9, 0.3, 0.1], [0.9, 0.8, 0.3, 0.9]],
+        [[0.6, 0.0, 0.5, 0.7], [0.1, 0.4, 0.1, 0.6], [0.3, 0.7, 0.3, 0.0]],
+        [[0.5, 0.6, 0.7, 0.5], [0.9, 0.5, 0.4, 0.3], [0.0, 0.8, 0.9, 0.4],
+         [0.8, 0.7, 0.5, 0.8], [0.7, 0.5, 0.8, 0.1]],
+    ]
+    expected = [[1, 3, 0, 0], [3, 3, 1], [3, 2, 2, 2, 2]]
+    for em, want in zip(emissions, expected):
+        assert crf.viterbi_decode(np.array(em, np.float32)) == want
+
+
+@pytest.mark.parametrize("token_offsets,word_offsets,want", [
+    ([(0, 3), (4, 6), (7, 10)], [(0, 3), (4, 6), (7, 10)], [0, 1, 2]),
+    ([(0, 2), (3, 5), (6, 8)], [(0, 3), (4, 6), (7, 10)], [0, 1, 2]),
+    ([(0, 2), (3, 5), (6, 8)], [(0, 3), (4, 6)], [0, 1, -1]),
+    ([(0, 2), (5, 7)], [(3, 5), (8, 10)], [-1, -1]),
+    ([(3, 5), (8, 10)], [(0, 2), (5, 7)], [-1, -1]),
+    ([(0, 3), (4, 6), (7, 10)], [(0, 2), (3, 5), (6, 8)], [0, 1, 2]),
+    ([(0, 1), (2, 4), (7, 10)], [(0, 3), (5, 7)], [0, 0, -1]),
+    ([(0, 1), (3, 5), (8, 10)], [(0, 3), (6, 7), (7, 10)], [0, -1, 2]),
+    ([(0, 3), (4, 6), (7, 10), (11, 13)], [(0, 3), (5, 8), (12, 14)], [0, 1, 1, 2]),
+    ([(0, 3), (4, 6), (7, 10)], [], [-1, -1, -1]),
+    ([], [(0, 3), (4, 6), (7, 10)], []),
+])
+def test_get_word_ids(token_offsets, word_offsets, want):
+    assert get_word_ids(word_offsets, token_offsets) == want
+
+
+def test_aggregate_predictions_first_non_o_wins():
+    tags = ["O", "NAME", "COMPANY", "NAME"]
+    word_ids = [0, 0, 0, 1]
+    assert aggregate_predictions(tags, word_ids, 2) == ["NAME", "NAME"]
+
+
+# ---------------- CleanTextWithSpans (preprocess.go) ----------------
+
+def test_clean_text_spans_roundtrip():
+    text = b"Hello, world! This is (a) test."
+    cleaned, orig, cspans = clean_text_with_spans(text)
+    assert cleaned == b" Hello world This is a test."
+    # spans map cleaned tokens back to original byte ranges
+    for (os_, oe), (cs, ce) in zip(orig, cspans):
+        tok = cleaned[cs:ce]
+        assert text[os_:oe].translate(None) is not None
+        assert len(tok) == oe - os_
+
+
+def test_clean_preserves_interior_punct():
+    text = b"phone: 012-345-6789 end"
+    cleaned, orig, cspans = clean_text_with_spans(text)
+    toks = [cleaned[s:e] for s, e in cspans]
+    assert b"012-345-6789" in toks
+
+
+def test_clean_bytes_offsets_multibyte():
+    text = "Grüße aus München.\n".encode("utf-8")
+    cleaned, orig, cspans = clean_text_with_spans(text)
+    s, e = orig[0]
+    assert text[s:e] == "Grüße".encode("utf-8")
+
+
+# ---------------- coalesce (processor.go:519-554) ----------------
+
+def _ent(label, text, start, end, rctx=b""):
+    return Entity(label=label, text=text, start=start, end=end, rcontext=rctx)
+
+
+def test_coalesce_merges_adjacent_same_label():
+    full = b"4111 1111 1111 1111"
+    ents = {"CARD_NUMBER": [
+        create_entity("CARD_NUMBER", full, 0, 4),
+        create_entity("CARD_NUMBER", full, 5, 9),
+        create_entity("CARD_NUMBER", full, 10, 14),
+        create_entity("CARD_NUMBER", full, 15, 19),
+    ]}
+    out = coalesce_entities(ents)
+    assert len(out) == 1
+    assert out[0].text == full
+    assert (out[0].start, out[0].end) == (0, 19)
+
+
+def test_coalesce_no_merge_on_gap_or_label():
+    ents = {
+        "A": [_ent("A", b"x", 0, 1, b"  "), _ent("A", b"y", 3, 4)],   # gap 2
+        "B": [_ent("B", b"z", 5, 6)],
+    }
+    out = coalesce_entities(ents)
+    assert len(out) == 3
+    assert [e.start for e in out] == [0, 3, 5]
+
+
+def test_to_valid_utf8():
+    assert to_valid_utf8(b"abc\xff\xfedef") == b"abcdef"
+    assert to_valid_utf8("héllo".encode()) == "héllo".encode()
