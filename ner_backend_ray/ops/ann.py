@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: the exact baseline — the (small) query matrix is broadcast
+  (``ray.put`` once / closure capture), each batch does one float64 matmul against
+  it and emits only its local top-k rows per query (combiner), then a single tiny
+  groupby-free merge on the driver reduces per-batch partials to global top-k.
+  No shuffle of the embedding table at all.
+- ``lsh_topk``: the scale path — random-hyperplane buckets with multi-probe: only
+  vectors sharing a bucket with the query are scored. Falls back gracefully
+  (recall<1) — the standard ANN trade.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def brute_force_topk(embs: ray.data.Dataset, queries: np.ndarray,
+                     query_ids: list[int], k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k. Returns (query_id, neighbor_id, rank) — rank 1..k by
+    (similarity desc, neighbor_id asc); scores stay internal so results are
+    deterministic and hashable."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = vecs @ qn.T  # (n, q)
+        out_q, out_n, out_s = [], [], []
+        topk = min(k, len(ids))
+        for qi in range(len(qids)):
+            col = sims[:, qi]
+            # local top-k partial per query (combiner) — avoids shuffling the table
+            idx = np.lexsort((ids, -col))[:topk]
+            out_q.extend([qids[qi]] * len(idx))
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = embs.map_batches(partial, batch_format="pyarrow").take_all()
+
+    best: dict[int, list[tuple[float, int]]] = {q: [] for q in qids}
+    for r in partials:
+        # heap keyed by (sim, -neighbor_id) so ties prefer the smaller id
+        heapq.heappush(best[r["query_id"]], (r["sim"], -r["neighbor_id"]))
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+
+    out_q, out_n, out_r = [], [], []
+    for q in qids:
+        ranked = sorted(best[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_id) in enumerate(ranked[:k], start=1):
+            out_q.append(q)
+            out_n.append(-neg_id)
+            out_r.append(rank)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
+
+
+def lsh_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
+             k: int = 5, n_planes: int = 8, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Approximate cosine top-k: score only vectors whose hyperplane bucket matches
+    a query bucket (multi-probe: exact bucket + 1-bit flips)."""
+    q = np.asarray(queries, dtype=np.float64)
+    dim = q.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    powers = 1 << np.arange(n_planes)
+    q_buckets = ((q @ planes) > 0).dot(powers).astype(np.int64)
+    probe_sets = []
+    for b in q_buckets:
+        probes = {int(b)}
+        for bit in range(n_planes):
+            probes.add(int(b) ^ (1 << bit))
+        probe_sets.append(probes)
+    all_probes = set().union(*probe_sets)
+    qn = _normalize(q)
+    qids = list(query_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = _as_matrix(batch[vec_col])
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        buckets = ((vecs @ planes) > 0).dot(powers).astype(np.int64)
+        mask = np.isin(buckets, list(all_probes))
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        vecs, ids, buckets = vecs[mask], ids[mask], buckets[mask]
+        nv = _normalize(vecs)
+        sims = nv @ qn.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand = np.isin(buckets, list(probe_sets[qi]))
+            if not cand.any():
+                continue
+            col = sims[cand, qi]
+            cids = ids[cand]
+            idx = np.lexsort((cids, -col))[:k]
+            out_q.extend([qids[qi]] * len(idx))
+            out_n.extend(cids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = embs.map_batches(partial, batch_format="pyarrow").take_all()
+    best: dict[int, list[tuple[float, int]]] = {qid: [] for qid in qids}
+    for r in partials:
+        heapq.heappush(best[r["query_id"]], (r["sim"], -r["neighbor_id"]))
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    out_q, out_n, out_r = [], [], []
+    for qid in qids:
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_id) in enumerate(ranked[:k], start=1):
+            out_q.append(qid); out_n.append(-neg_id); out_r.append(rank)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})

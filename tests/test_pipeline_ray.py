@@ -1,0 +1,118 @@
+"""Distributed-vs-oracle parity and resume tests (SURVEY.md §5 layers 2/4)."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _table_key_set(t: pa.Table, cols: list[str]) -> set[tuple]:
+    return set(zip(*[t[c].to_pylist() for c in cols]))
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_size=None, batch_format="pyarrow")))
+
+
+@pytest.fixture(scope="module")
+def oracle_result(tiny_fixture):
+    from ner_backend_ray.oracle import run_oracle
+    return run_oracle(tiny_fixture)
+
+
+def test_streaming_pipeline_matches_oracle(ray_session, tiny_fixture, oracle_result):
+    from ner_backend_ray.oracle import KGConfig
+    from ner_backend_ray.pipelines.kg import kg_tables, read_pages, tag_pages
+
+    cfg = KGConfig(tag_concurrency=2, link_concurrency=2)
+    docs = tag_pages(read_pages(tiny_fixture), cfg, tiny_fixture).materialize()
+    tables = kg_tables(docs, cfg, tiny_fixture)
+
+    got_m = _collect(tables["mentions"])
+    want_m = oracle_result["mentions"]
+    cols = ["url", "start", "end", "label", "text", "entity_key"]
+    assert _table_key_set(got_m, cols) == _table_key_set(want_m, cols)
+    assert got_m.num_rows == want_m.num_rows
+
+    got_t = _collect(tables["triples"])
+    tcols = ["url", "subj", "pred", "obj", "subj_key", "obj_key"]
+    assert _table_key_set(got_t, tcols) == _table_key_set(oracle_result["triples"], tcols)
+
+    got_g = _collect(tables["groups"])
+    gcols = ["url", "group_name"]
+    assert _table_key_set(got_g, gcols) == _table_key_set(oracle_result["groups"], gcols)
+
+    # nodes/edges: exact equality after sort (both sorted by canonical id already)
+    got_n = _collect(tables["nodes"])
+    want_n = oracle_result["nodes"]
+    assert got_n.num_rows == want_n.num_rows
+    assert got_n.sort_by("canonical_id").select(["canonical_id", "label", "mention_count"]).equals(
+        want_n.select(["canonical_id", "label", "mention_count"]))
+
+    got_e = _collect(tables["edges"])
+    want_e = oracle_result["edges"]
+    ecols = ["subj_id", "pred", "obj_id", "weight"]
+    assert _table_key_set(got_e, ecols) == _table_key_set(want_e, ecols)
+
+
+def test_extract_invariant_detects_mismatch(ray_session, tiny_fixture):
+    from ner_backend_ray.stages.extract import extract_text_batch
+    pages = pq.read_table(sorted(glob.glob(tiny_fixture + "/pages/part-*.parquet"))[0])
+    out = extract_text_batch(pages)
+    assert out["text"].to_pylist() == pages["text"].to_pylist()
+    # corrupt one text cell → invariant must fire
+    bad = pages.set_column(pages.schema.get_field_index("text"), "text",
+                           pa.array(["CORRUPTED"] + pages["text"].to_pylist()[1:]))
+    with pytest.raises(AssertionError):
+        extract_text_batch(bad)
+
+
+def test_checkpointed_resume_identical(ray_session, tiny_fixture, tmp_path):
+    """Kill after k partitions → resume → outputs byte-identical to a fresh run."""
+    from ner_backend_ray.oracle import KGConfig
+    from ner_backend_ray.pipelines.checkpointed import (completed_partitions,
+                                                        run_kg_checkpointed,
+                                                        run_phase1)
+    cfg = KGConfig(tag_concurrency=2, link_concurrency=2)
+
+    full_dir = str(tmp_path / "full")
+    s = run_kg_checkpointed(tiny_fixture, full_dir, cfg, concurrency=2)
+    assert s["partitions_run"] == s["partitions_total"] > 2
+    assert s["triples"] > 0 and s["nodes"] > 0
+
+    # simulated kill: only the first 3 partitions complete
+    resume_dir = str(tmp_path / "resume")
+    s1 = run_phase1(tiny_fixture, resume_dir, cfg, concurrency=2, max_partitions=3)
+    assert len(completed_partitions(resume_dir)) == 3
+    # resume: remaining partitions run, completed ones skipped
+    s2 = run_kg_checkpointed(tiny_fixture, resume_dir, cfg, concurrency=2)
+    assert s2["partitions_skipped"] == 3
+
+    for table in ("mentions", "triples", "groups", "docs"):
+        full_files = sorted(glob.glob(os.path.join(full_dir, table, "part-*.parquet")))
+        res_files = sorted(glob.glob(os.path.join(resume_dir, table, "part-*.parquet")))
+        assert [os.path.basename(p) for p in full_files] == [os.path.basename(p) for p in res_files]
+        for a, b in zip(full_files, res_files):
+            assert pq.read_table(a).equals(pq.read_table(b)), (a, b)
+
+    # second resume is a no-op
+    s3 = run_kg_checkpointed(tiny_fixture, resume_dir, cfg, concurrency=2)
+    assert s3["partitions_run"] == 0 and s3.get("skipped") is True
+
+
+def test_checkpointed_matches_oracle(ray_session, tiny_fixture, tmp_path, oracle_result):
+    from ner_backend_ray.oracle import KGConfig
+    from ner_backend_ray.pipelines.checkpointed import run_kg_checkpointed
+    out = str(tmp_path / "ckpt")
+    run_kg_checkpointed(tiny_fixture, out, KGConfig(tag_concurrency=2, link_concurrency=2),
+                        concurrency=2)
+    got_t = pq.read_table(os.path.join(out, "triples"))
+    want_t = oracle_result["triples"]
+    cols = ["url", "subj", "pred", "obj", "subj_key", "obj_key"]
+    assert _table_key_set(got_t, cols) == _table_key_set(want_t, cols)
+    got_e = pq.read_table(os.path.join(out, "graph", "edges"))
+    ecols = ["subj_id", "pred", "obj_id", "weight"]
+    assert _table_key_set(got_e, ecols) == _table_key_set(oracle_result["edges"], ecols)
