@@ -78,21 +78,21 @@ def brute_force_topk(embs: ray.data.Dataset, queries: np.ndarray,
 
 
 def lsh_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
-             k: int = 5, n_planes: int = 8, seed: int = 7,
+             k: int = 5, n_planes: int = 8, probe_bits: int = 1, seed: int = 7,
              id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
     """Approximate cosine top-k: score only vectors whose hyperplane bucket matches
-    a query bucket (multi-probe: exact bucket + 1-bit flips)."""
+    a query bucket (multi-probe: exact bucket + up-to-``probe_bits``-bit flips)."""
+    from itertools import combinations
     q = np.asarray(queries, dtype=np.float64)
     dim = q.shape[1]
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
     powers = 1 << np.arange(n_planes)
     q_buckets = ((q @ planes) > 0).dot(powers).astype(np.int64)
-    probe_sets = []
-    for b in q_buckets:
-        probes = {int(b)}
-        for bit in range(n_planes):
-            probes.add(int(b) ^ (1 << bit))
-        probe_sets.append(probes)
+    flips = [0]
+    for nbits in range(1, probe_bits + 1):
+        for bits in combinations(range(n_planes), nbits):
+            flips.append(sum(1 << b for b in bits))
+    probe_sets = [{int(b) ^ f for f in flips} for b in q_buckets]
     all_probes = set().union(*probe_sets)
     qn = _normalize(q)
     qids = list(query_ids)

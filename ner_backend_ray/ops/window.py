@@ -1,0 +1,57 @@
+"""Windowed aggregates over an ordered event stream.
+
+Ray Data has no event-time windows (SURVEY.md §2.10 — neither does the reference);
+windows are expressed as: assign window id per batch (vectorized) → combiner
+partial aggregate per (key, window) → small groupby. Sliding/session windows use
+``groupby(key).map_groups`` over ts-sorted groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def tumbling_window(events: ray.data.Dataset, ts_col: str = "ts",
+                    key_col: str = "event_type", value_col: str = "value",
+                    window_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """count + sum(value) per (key, tumbling window). Returns columns
+    (key, window_start, n_events, sum_value); window_start is epoch micros."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, window_us), window_us)  # floor to window
+        t = pa.table({key_col: batch[key_col], "window_start": win,
+                      value_col: batch[value_col]})
+        df = t.to_pandas()
+        agg = (df.groupby([key_col, "window_start"], as_index=False)
+               .agg(pn=(value_col, "size"), psum=(value_col, "sum")))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Sum("pn", alias_name="n_events"),
+                       Sum("psum", alias_name="sum_value")))
+
+
+def session_windows(events: ray.data.Dataset, ts_col: str = "ts",
+                    key_col: str = "user_id",
+                    gap_us: int = 1_800_000_000) -> ray.data.Dataset:
+    """Per-key session windowing (sorted within group; gap > gap_us splits).
+    Returns (key, session_start, session_end, n_events)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].astype("int64")
+        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = g.groupby(new_session).agg(
+            session_start=(ts_col, "min"), session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"))
+        out[key_col] = g[key_col].iloc[0]
+        return out.reset_index(drop=True)
+
+    return events.groupby(key_col).map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,198 @@
+"""Tests for the training-data ops over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs_ds(ray_session):
+    import ray.data
+    return ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_dedup_exact_matches_duckdb(docs_ds):
+    import duckdb
+    from ner_backend_ray.ops.dedup import dedup_exact
+    got = sorted(r["doc_id"] for r in dedup_exact(docs_ds).take_all())
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT min(doc_id) FROM '{SF_DIR}/documents.parquet' "
+        "GROUP BY md5(text) ORDER BY 1").fetchall()]
+    assert got == want
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.dedup import dedup_minhash_lsh
+    base = ("spark join filter the quick brown fox jumps over the lazy dog "
+            "while streams wind through valleys " * 3)
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " tiny suffix"},          # near-dup of 1
+        {"doc_id": 3, "text": base.replace("fox", "cat")},     # near-dup of 1
+        {"doc_id": 4, "text": "completely different words about databases and engines"},
+    ]
+    roots = dedup_minhash_lsh(ray.data.from_items(rows), jaccard_threshold=0.7)
+    assert roots.get(2) == 1 and roots.get(3) == 1
+    assert 4 not in roots
+
+
+def test_simhash_near_dups(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.dedup import simhash_near_dups
+    # 9 distinct tokens x3 → per-bit accumulator is 3*(odd sum), never 0, so one
+    # extra token flips at most the bits where |acc|<1 → none: tiny Hamming dist
+    base = "alpha beta gamma delta epsilon zeta eta theta iota " * 3
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + "kappa"},
+            {"doc_id": 3, "text": "unrelated content entirely here today friend"}]
+    pairs = simhash_near_dups(ray.data.from_items(rows), max_hamming=3)
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.dedup import embedding_near_dups
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16)
+    rows = [{"vec_id": 1, "embedding": v.tolist()},
+            {"vec_id": 2, "embedding": (v + 0.01 * rng.standard_normal(16)).tolist()},
+            {"vec_id": 3, "embedding": rng.standard_normal(16).tolist()}]
+    pairs = embedding_near_dups(ray.data.from_items(rows), cos_threshold=0.99)
+    assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_brute_force_topk_exact(embs_ds):
+    from ner_backend_ray.ops.ann import brute_force_topk
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    queries = mat[:3]
+    got = brute_force_topk(embs_ds, queries, [0, 1, 2], k=5)
+    # reference: direct numpy
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = nm @ qn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[:, qi]))[:5]
+        want = ids[order].tolist()
+        rows = [r for r in got.to_pylist() if r["query_id"] == qi]
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == want
+
+
+def test_lsh_topk_reasonable_recall(embs_ds):
+    from ner_backend_ray.ops.ann import brute_force_topk, lsh_topk
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    queries = mat[:3]
+    exact = brute_force_topk(embs_ds, queries, [0, 1, 2], k=5).to_pylist()
+    approx = lsh_topk(embs_ds, queries, [0, 1, 2], k=5, n_planes=8, probe_bits=2).to_pylist()
+    exact_sets = {q: {r["neighbor_id"] for r in exact if r["query_id"] == q} for q in (0, 1, 2)}
+    approx_sets = {q: {r["neighbor_id"] for r in approx if r["query_id"] == q} for q in (0, 1, 2)}
+    # the query vectors are rows of the table, so the self-neighbor (rank 1) must
+    # always be found (same bucket by construction)
+    for q in (0, 1, 2):
+        assert q in approx_sets[q]
+    recall = np.mean([len(exact_sets[q] & approx_sets[q]) / 5 for q in (0, 1, 2)])
+    # random dim-64 embeddings ≈ uniform cosine: LSH recall is modest by nature,
+    # but must beat the ~15% bucket-coverage chance level clearly
+    assert recall >= 0.4
+
+
+def test_broadcast_and_bucket_join_agree(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.joins import broadcast_join, bucket_hash_join
+    left = ray.data.read_parquet(f"{SF_DIR}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    right_t = pq.read_table(f"{SF_DIR}/customer.parquet",
+                            columns=["c_custkey", "c_name"]).rename_columns(
+                                ["o_custkey", "c_name"])
+    got_b = broadcast_join(left, right_t, "o_custkey").to_pandas()
+    right_ds = ray.data.from_arrow(right_t)
+    got_h = bucket_hash_join(left, right_ds, "o_custkey", n_buckets=8).to_pandas()
+    want = (pq.read_table(f"{SF_DIR}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
+            .to_pandas().merge(right_t.to_pandas(), on="o_custkey"))
+    for got in (got_b, got_h):
+        a = got.sort_values(["o_orderkey"]).reset_index(drop=True)[want.columns.tolist()]
+        b = want.sort_values(["o_orderkey"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.window import tumbling_window
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    got = tumbling_window(events).to_pandas().sort_values(
+        ["event_type", "window_start"]).reset_index(drop=True)
+    df = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    df["window_start"] = (df["ts"].astype("int64") // 1_000_000 // 3600 * 3600 * 1_000_000)
+    want = (df.groupby(["event_type", "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .sort_values(["event_type", "window_start"]).reset_index(drop=True))
+    assert got["n_events"].sum() == want["n_events"].sum()
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got.sort_values(["event_type", "window_start"])["sum_value"].to_numpy(),
+        want["sum_value"].to_numpy(), rtol=1e-9)
+
+
+def test_quality_and_langid(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.textstats import (lang_id, quality_features,
+                                               quality_filter, total_tokens)
+    t = pa.table({"text": pa.array(["the quick brown fox is in the house",
+                                    "x!!!", ""])})
+    f = quality_features(t)
+    assert f["n_tokens"].to_pylist() == [8, 1, 0]
+    assert f["punct_ratio"].to_pylist()[1] > 0.5
+    assert lang_id("the cat and the dog is in that house for a while") == "en"
+    assert lang_id("der hund und die katze ist nicht im haus") == "de"
+    ds = ray.data.from_arrow(t)
+    assert quality_filter(ds, min_tokens=2).count() == 1
+    assert total_tokens(ds) == 9
+
+
+def test_redact_exact():
+    from ner_backend_ray.ops.redact import redact_text
+    text = b"Call Leo Morgan at 012-345-6789 or ask Leo Morgan."
+    ents = [
+        {"start": 5, "end": 15, "label": "NAME", "text": "Leo Morgan"},
+        {"start": 19, "end": 31, "label": "PHONENUMBER", "text": "012-345-6789"},
+        {"start": 39, "end": 49, "label": "NAME", "text": "Leo Morgan"},
+    ]
+    red, assigned = redact_text(text, ents)
+    assert red == "Call [NAME_1] at [PHONENUMBER_1] or ask [NAME_1]."
+    assert assigned == {"Leo Morgan_NAME": "[NAME_1]",
+                        "012-345-6789_PHONENUMBER": "[PHONENUMBER_1]"}
+
+
+def test_multimodal_stub_shapes(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.multimodal import DecodeImage, SampleFrames
+    rows = [{"id": i, "data": bytes([i]) * 1000} for i in range(6)]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(DecodeImage, fn_constructor_kwargs={"embedding_dim": 8},
+                         batch_format="pyarrow", batch_size=2, concurrency=1).take_all()
+    assert len(out) == 6 and len(out[0]["embedding"]) == 8
+    # determinism: same content → same fake features
+    out2 = ds.map_batches(DecodeImage, fn_constructor_kwargs={"embedding_dim": 8},
+                          batch_format="pyarrow", batch_size=3, concurrency=1).take_all()
+    assert sorted((r["id"], r["width"]) for r in out) == sorted((r["id"], r["width"]) for r in out2)
+    frames = ds.map_batches(SampleFrames, batch_format="pyarrow", batch_size=2,
+                            concurrency=1).take_all()
+    assert len(frames) == 24
+    with pytest.raises(NotImplementedError):
+        DecodeImage(deterministic_fake=False)
