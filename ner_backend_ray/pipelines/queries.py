@@ -1,0 +1,532 @@
+"""Named query/pipeline registry — the driver-facing surface.
+
+Each query is a callable ``fn(sf_dir) -> Dataset | pyarrow.Table`` over the driver
+testdata tables (region nation customer supplier part orders lineitem events
+documents embeddings) or the deterministic pages fixture (KG pipeline). Where the
+semantics are ANSI-SQL-expressible an oracle string lives in ``ORACLE_SQL`` under
+the same key with matching column names; numeric aggregates use the fixed-point
+trick (``floor(x*100 + 0.5)`` int64 cents) on BOTH sides so float summation order
+can never flip a value hash.
+
+SQL-free entries (MinHash/SimHash/LSH/fingerprint/KG pipeline) are checked
+rows-only by the driver; their exact semantics are pinned by tests/ instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..oracle import KGConfig
+from ..ops.ann import brute_force_topk, lsh_topk
+from ..ops.dedup import (dedup_exact, dedup_minhash_lsh, embedding_near_dups,
+                         simhash_near_dups)
+from ..ops.joins import broadcast_join, bucket_hash_join
+from ..ops.textstats import fingerprint_batch, quality_features
+from ..ops.window import session_windows, tumbling_window
+from ..stages.tag import TagDocs, explode_groups, explode_mentions
+from .kg import kg_tables, read_pages, tag_pages
+
+HOUR_US = 3_600_000_000
+GAP_US = 1_800_000_000
+
+
+def _tbl(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — deterministic fixed-point, mirrored in SQL."""
+    return pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))).cast(pa.int64())
+
+
+# --------------------------------------------------------------------------
+# relational / windowed queries (SQL-checked)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup (SURVEY.md §2.7 D4): one representative doc_id per distinct text."""
+    return dedup_exact(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_quality(sf_dir: str):
+    """Per-doc quality features (n_tokens, punct_ratio, alpha_ratio) — Arrow-RE2
+    kernels, bit-matching DuckDB's RE2 regexes."""
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        feats = quality_features(batch)
+        return feats.select(["doc_id", "n_tokens", "punct_ratio", "alpha_ratio"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_quality_filter(sf_dir: str):
+    """Docs passing the web-text quality gate (>=40 tokens, punct_ratio < 0.05)."""
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        feats = quality_features(batch)
+        keep = pc.and_(pc.greater_equal(feats["n_tokens"], 40),
+                       pc.less(feats["punct_ratio"], 0.05))
+        return batch.filter(keep).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_counts(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", ["doc_id", "lang"])
+    return (ds.groupby("lang").count().rename_columns({"count()": "n_docs"}))
+
+
+def q_token_totals(sf_dir: str):
+    """Global whitespace-token count (M8/A3 combiner pattern: per-batch partials →
+    one-row result)."""
+    ds = _tbl(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        return pa.table({"pt": pa.array([int(pc.sum(n).as_py() or 0)], pa.int64()),
+                         "pd": pa.array([batch.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({"total_tokens": pa.array([sum(r["pt"] for r in parts)], pa.int64()),
+                     "n_docs": pa.array([sum(r["pd"] for r in parts)], pa.int64())})
+
+
+def q_tumbling_window(sf_dir: str):
+    """Hourly tumbling (event_type) window counts + fixed-point value sums."""
+    ds = _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def to_fixed(batch: pa.Table) -> pa.Table:
+        return pa.table({"ts": batch["ts"], "event_type": batch["event_type"],
+                         "value_i": _cents(batch["value"])})
+
+    win = tumbling_window(ds.map_batches(to_fixed, batch_format="pyarrow"),
+                          value_col="value_i", window_us=HOUR_US)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": batch["n_events"],
+            "sum_value": pc.divide(batch["sum_value"].cast(pa.float64()),
+                                   pa.scalar(100.0)),
+        })
+
+    return win.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sessions(sf_dir: str):
+    """Per-user session windows (30-min gap), epoch-micros bounds."""
+    ds = _tbl(sf_dir, "events", ["ts", "user_id"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "ts_i": batch["ts"].cast(pa.int64())})
+
+    return session_windows(ds.map_batches(to_int, batch_format="pyarrow"),
+                           ts_col="ts_i", key_col="user_id", gap_us=GAP_US)
+
+
+def q_events_json(sf_dir: str):
+    """JSON prop extraction (vectorized RE2) + grouped fixed-sum — the reference's
+    JSON-in-a-string params pattern (internal/database/schema.go:60) as a dataflow op."""
+    ds = _tbl(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ks, "k").cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        df = t.to_pandas().groupby("event_type", as_index=False).agg(
+            pk=("k", "sum"), pn=("k", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("pk", alias_name="sum_k"), Sum("pn", alias_name="n_events")))
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast join (small side ray.put once): orders ⋈ customer."""
+    left = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    right = (pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+             .rename_columns(["o_custkey", "c_name"]))
+    return broadcast_join(left, right, "o_custkey")
+
+
+def q_join_lineitem_part(sf_dir: str):
+    """Partitioned bucket hash join (both sides large): lineitem ⋈ part."""
+    left = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    right = _tbl(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda b: b.rename_columns(["l_partkey", "p_name", "p_retailprice"]),
+        batch_format="pyarrow")
+    return bucket_hash_join(left, right, "l_partkey", n_buckets=32)
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate, combiner partials before the groupby
+    (SURVEY.md §2.5 A1 pattern); fixed-point sums."""
+    ds = _tbl(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+               "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_i": _cents(batch["l_quantity"]),
+            "base_i": _cents(batch["l_extendedprice"]),
+            "disc_i": _cents(disc),
+        })
+        df = t.to_pandas().groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            pq=("qty_i", "sum"), pb=("base_i", "sum"), pdp=("disc_i", "sum"),
+            pn=("qty_i", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("pq", alias_name="q_i"), Sum("pb", alias_name="b_i"),
+                      Sum("pdp", alias_name="d_i"), Sum("pn", alias_name="count_order")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hundred = pa.scalar(100.0)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc.divide(batch["q_i"].cast(pa.float64()), hundred),
+            "sum_base_price": pc.divide(batch["b_i"].cast(pa.float64()), hundred),
+            "sum_disc_price": pc.divide(batch["d_i"].cast(pa.float64()), hundred),
+            "count_order": batch["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct_segments(sf_dir: str):
+    ds = _tbl(sf_dir, "customer", ["c_mktsegment"])
+    return ds.groupby("c_mktsegment").count().select_columns(["c_mktsegment"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-5 for the first 3 vectors as queries (broadcast query
+    matrix, per-batch matmul combiner — SURVEY.md training-data ops)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = pc.less(qt["vec_id"], 3)
+    qt = qt.filter(mask)
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    embs = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(embs, queries, qt["vec_id"].to_pylist(), k=5)
+
+
+# --------------------------------------------------------------------------
+# NER / DSL over the documents table (SQL-checked)
+# --------------------------------------------------------------------------
+
+_WORD_PATTERNS = {"SPARKW": r"\bspark\b", "JOINW": r"\bjoin\b"}
+_GROUP_QUERIES = {"sparky": "COUNT(SPARKW) > 2",
+                  "mixed": "COUNT(SPARKW) > 0 AND COUNT(JOINW) > 1"}
+
+
+def _tag_documents(sf_dir: str) -> ray.data.Dataset:
+    """Full inference chain (predict → validators → coalesce → DSL groups) with the
+    injectable regex tagger, over the documents table (the processor_test.go:18-114
+    dataflow pattern, distributed)."""
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": pc.cast(batch["doc_id"], pa.string()),
+                         "text": batch["text"]})
+
+    # leave headroom for the read/explode tasks so a small (test) cluster can't
+    # starve: the actor pool must never reserve every CPU
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    conc = max(1, min(8, n_cpus - 2))
+    return ds.map_batches(to_pages, batch_format="pyarrow").map_batches(
+        TagDocs,
+        fn_constructor_kwargs=dict(model_type="regex",
+                                   model_kwargs={"patterns": _WORD_PATTERNS},
+                                   group_queries=_GROUP_QUERIES,
+                                   text_column="text", emit_triples=False),
+        batch_size=256, batch_format="pyarrow", concurrency=conc, num_cpus=1)
+
+
+def q_regex_mention_runs(sf_dir: str):
+    """Coalesced mention count per (doc, label) — adjacent same-label matches with
+    byte gap <=1 merge (processor.go:519-554), which SQL mirrors as runs of
+    space-separated tokens."""
+    tagged = _tag_documents(sf_dir)
+    flat = tagged.map_batches(explode_mentions, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": batch["url"].cast(pa.int64()), "label": batch["label"]})
+        df = t.to_pandas().groupby(["doc_id", "label"], as_index=False).agg(
+            pn=("label", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (flat.map_batches(partial, batch_format="pyarrow")
+            .groupby(["doc_id", "label"])
+            .aggregate(Sum("pn", alias_name="n_runs")))
+
+
+def q_dsl_groups(sf_dir: str):
+    """Group-query DSL (query_parser.go grammar) evaluated per doc on the
+    pre-coalesce label map (processor.go:649-658)."""
+    tagged = _tag_documents(sf_dir)
+    flat = tagged.map_batches(explode_groups, batch_format="pyarrow")
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["url"].cast(pa.int64()),
+                         "group_name": batch["group_name"]})
+
+    return flat.map_batches(to_ids, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible; semantics pinned by tests/)
+# --------------------------------------------------------------------------
+
+def q_minhash_neardups(sf_dir: str):
+    roots = dedup_minhash_lsh(_tbl(sf_dir, "documents", ["doc_id", "text"]),
+                              jaccard_threshold=0.7)
+    items = sorted(roots.items())
+    return pa.table({"doc_id": pa.array([k for k, _ in items], pa.int64()),
+                     "root_doc_id": pa.array([v for _, v in items], pa.int64())})
+
+
+def q_simhash_neardups(sf_dir: str):
+    pairs = simhash_near_dups(_tbl(sf_dir, "documents", ["doc_id", "text"]),
+                              max_hamming=3)
+    return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                     "b": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+def q_embedding_neardups(sf_dir: str):
+    pairs = embedding_near_dups(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                                cos_threshold=0.95)
+    return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                     "b": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+def q_lsh_topk(sf_dir: str):
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], 3))
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    embs = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(embs, queries, qt["vec_id"].to_pylist(), k=5, n_planes=8,
+                    probe_bits=2)
+
+
+def q_fingerprints(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = fingerprint_batch(batch)
+        fp = np.asarray(out["fingerprint"].to_pylist(), dtype=np.uint64)
+        return pa.table({"doc_id": out["doc_id"],
+                         "fingerprint": pa.array(fp.view(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# KG flagship pipeline over the pages fixture (rows-only)
+# --------------------------------------------------------------------------
+
+_KG_CACHE: dict[str, dict[str, ray.data.Dataset]] = {}
+
+
+def kg_results(sf_dir_or_sf) -> dict[str, ray.data.Dataset]:
+    """Run the flagship KG pipeline once per fixture scale and cache the
+    materialized tables; the per-table queries below share one run."""
+    from ..fixtures.pages import pages_fixture_dir
+    fixture_dir = pages_fixture_dir(sf_dir_or_sf)
+    if fixture_dir not in _KG_CACHE:
+        cfg = KGConfig()
+        docs = tag_pages(read_pages(fixture_dir), cfg, fixture_dir).materialize()
+        tables = kg_tables(docs, cfg, fixture_dir)
+        _KG_CACHE[fixture_dir] = {k: v.materialize() for k, v in tables.items()}
+    return _KG_CACHE[fixture_dir]
+
+
+def q_kg_mentions(sf_dir: str):
+    return kg_results(sf_dir)["mentions"]
+
+
+def q_kg_triples(sf_dir: str):
+    return kg_results(sf_dir)["triples"]
+
+
+def q_kg_groups(sf_dir: str):
+    return kg_results(sf_dir)["groups"]
+
+
+def q_kg_nodes(sf_dir: str):
+    ds = kg_results(sf_dir)["nodes"]
+
+    def flat(batch: pa.Table) -> pa.Table:
+        # surface_forms list → joined string so every driver backend can hash it
+        joined = [" | ".join(x) for x in batch["surface_forms"].to_pylist()]
+        return pa.table({"canonical_id": batch["canonical_id"],
+                         "label": batch["label"],
+                         "mention_count": batch["mention_count"],
+                         "surface_forms": pa.array(joined, pa.string())})
+
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def q_kg_edges(sf_dir: str):
+    return kg_results(sf_dir)["edges"]
+
+
+# --------------------------------------------------------------------------
+# registries
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "doc_quality": q_doc_quality,
+    "quality_filter": q_quality_filter,
+    "lang_counts": q_lang_counts,
+    "token_totals": q_token_totals,
+    "tumbling_window": q_tumbling_window,
+    "sessions": q_sessions,
+    "events_json": q_events_json,
+    "join_orders_customer": q_join_orders_customer,
+    "join_lineitem_part": q_join_lineitem_part,
+    "pricing_summary": q_pricing_summary,
+    "topk_orders": q_topk_orders,
+    "distinct_segments": q_distinct_segments,
+    "ann_topk": q_ann_topk,
+    "regex_mention_runs": q_regex_mention_runs,
+    "dsl_groups": q_dsl_groups,
+    "minhash_neardups": q_minhash_neardups,
+    "simhash_neardups": q_simhash_neardups,
+    "embedding_neardups": q_embedding_neardups,
+    "lsh_topk": q_lsh_topk,
+    "fingerprints": q_fingerprints,
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "kg_groups": q_kg_groups,
+    "kg_nodes": q_kg_nodes,
+    "kg_edges": q_kg_edges,
+}
+
+_SPARK_RUNS = r"\bspark\b( \bspark\b)*"
+_JOIN_RUNS = r"\bjoin\b( \bjoin\b)*"
+
+ORACLE_SQL = {
+    "dedup_exact": (
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
+    "doc_quality": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+               (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio
+        FROM documents""",
+    "quality_filter": r"""
+        SELECT doc_id FROM documents
+        WHERE len(regexp_extract_all(text, '\S+')) >= 40
+          AND (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+              / CAST(greatest(length(text), 1) AS DOUBLE) < 0.05""",
+    "lang_counts": (
+        "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"),
+    "token_totals": r"""
+        SELECT CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+               count(*) AS n_docs
+        FROM documents""",
+    "tumbling_window": """
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "sessions": """
+        WITH d AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        m AS (SELECT user_id, t,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        g AS (SELECT user_id, t,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m)
+        SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+               count(*) AS n_events
+        FROM g GROUP BY user_id, sess""",
+    "events_json": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type""",
+    "join_orders_customer": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "join_lineitem_part": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name, p.p_retailprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id < 3)
+        SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                                e.vec_id) AS rank
+            FROM embeddings e, q) t
+        WHERE rank <= 5""",
+    "regex_mention_runs": f"""
+        WITH r AS (
+            SELECT doc_id, 'SPARKW' AS label,
+                   len(regexp_extract_all(text, '{_SPARK_RUNS}')) AS n_runs
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'JOINW' AS label,
+                   len(regexp_extract_all(text, '{_JOIN_RUNS}')) AS n_runs
+            FROM documents)
+        SELECT doc_id, label, CAST(n_runs AS BIGINT) AS n_runs
+        FROM r WHERE n_runs > 0""",
+    "dsl_groups": r"""
+        WITH c AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\bspark\b')) AS n_spark,
+                          len(regexp_extract_all(text, '\bjoin\b')) AS n_join
+                   FROM documents)
+        SELECT doc_id, 'sparky' AS group_name FROM c WHERE n_spark > 2
+        UNION ALL
+        SELECT doc_id, 'mixed' FROM c WHERE n_spark > 0 AND n_join > 1""",
+}
