@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Default: times the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS
+[default 32]). The KG flagship runs over the deterministic pages fixture at the
+matching scale factor (synthesized and cached under /tmp).
+
+--scaling: runs the KG flagship twice in FRESH processes (num_cpus=8 then 32) on
+the SAME input — the sandbox stand-in for N vs 4N nodes — and reports both
+throughputs plus scaling efficiency = T8 / (4 * T32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_SF = 0.4  # compute-dominated input so efficiency measures the pipeline
+
+BENCH_QUERIES = [
+    "dedup_exact", "minhash_neardups", "quality_filter", "regex_mention_runs",
+    "pricing_summary", "tumbling_window", "sessions", "join_lineitem_part",
+    "ann_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base[2:]) if base.startswith("sf") else 0.1
+    except ValueError:
+        return 0.1
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    if hasattr(result, "count"):
+        return result.count()
+    return len(result)
+
+
+def _warmup():
+    """Spin up the worker pool so cluster cold-start isn't attributed to the
+    first timed pipeline (both scaling runs warm identically)."""
+    import ray.data
+    ray.data.range(1000, override_num_blocks=32).map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
+
+
+def run_kg(sf: float) -> tuple[float, dict[str, int]]:
+    """Time the flagship KG pipeline end-to-end (tag+link actor pool → explodes →
+    canonicalize → graph). Returns (wall_sec, table counts)."""
+    from ner_backend_ray.fixtures.pages import pages_fixture_dir
+    from ner_backend_ray.oracle import KGConfig
+    from ner_backend_ray.pipelines.kg import kg_tables, read_pages, tag_pages
+
+    fixture_dir = pages_fixture_dir(sf)  # cached; generation not timed
+    cfg = KGConfig()
+    t0 = time.time()
+    docs = tag_pages(read_pages(fixture_dir), cfg, fixture_dir).materialize()
+    tables = kg_tables(docs, cfg, fixture_dir)
+    counts = {name: tables[name].count()
+              for name in ("mentions", "groups", "triples", "nodes", "edges")}
+    wall = time.time() - t0
+    counts["docs"] = docs.count()
+    return wall, counts
+
+
+def run_bench(num_cpus: int, sf_dir: str, names: list[str], kg: bool) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    _warmup()
+
+    from ner_backend_ray.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    extra: dict = {}
+    if kg:
+        sf = _sf_of(sf_dir)
+        wall, counts = run_kg(sf)
+        times["kg_pipeline"] = round(wall, 3)
+        extra["kg_counts"] = counts
+        extra["kg_triples_per_sec"] = round(counts["triples"] / wall, 1)
+        extra["kg_docs_per_sec"] = round(counts["docs"] / wall, 1)
+    for name in names:
+        t0 = time.time()
+        _consume(QUERIES[name](sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "headline pipeline wall time (KG flagship + operator suite)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        **extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """KG flagship at num_cpus=8 vs 32 in fresh processes, same input."""
+    from ner_backend_ray.fixtures.pages import pages_fixture_dir
+    pages_fixture_dir(SCALING_SF)  # pre-generate so neither run pays it
+
+    walls: dict[int, float] = {}
+    counts: dict = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--kg-only",
+             "--cpus", str(cpus), "--kg-sf", str(SCALING_SF)],
+            capture_output=True, text=True, check=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        rec = json.loads(line)
+        walls[cpus] = rec["queries"]["kg_pipeline"]
+        counts = rec.get("kg_counts", counts)
+    t8, t32 = walls[8], walls[32]
+    eff = t8 / (4.0 * t32)
+    docs = counts.get("docs", 0)
+    triples = counts.get("triples", 0)
+    return {
+        "metric": "KG flagship scaling efficiency (num_cpus=8 vs 32, fresh "
+                  "processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"kg_cpus8": t8, "kg_cpus32": t32},
+        "sf": SCALING_SF,
+        "num_cpus": 32,
+        "throughput_docs_per_sec": {"cpus8": round(docs / t8, 1),
+                                    "cpus32": round(docs / t32, 1)},
+        "throughput_triples_per_sec": {"cpus8": round(triples / t8, 1),
+                                       "cpus32": round(triples / t32, 1)},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--kg-only", action="store_true",
+                    help="time only the KG flagship (used by --scaling children)")
+    ap.add_argument("--kg-sf", type=float, default=None,
+                    help="override the KG fixture scale factor")
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling()))
+        return
+
+    if args.kg_sf is not None:
+        # route through a fake sf dir name so _sf_of picks it up
+        args.sf_dir = f"/root/testdata/sf{args.kg_sf}"
+    names = [] if args.kg_only else BENCH_QUERIES
+    print(json.dumps(run_bench(args.cpus, args.sf_dir, names, kg=True)))
+
+
+if __name__ == "__main__":
+    main()

@@ -184,6 +184,12 @@ def _gen_partition(pid: int, n_rows: int, row0: int, seed: int):
     return pages, truth_mentions, truth_triples
 
 
+def _gen_and_write(pid: int, n: int, row0: int, seed: int, pages_dir: str):
+    pages, tm, tt = _gen_partition(pid, n, row0, seed)
+    pq.write_table(pages, os.path.join(pages_dir, f"part-{pid:05d}.parquet"))
+    return tm, tt
+
+
 def build_alias_dict(n_shards: int = 16) -> pa.Table:
     """Entity-linking dictionary over the fixture pools (FIXTURES.md §2): canonical
     surfaces plus deterministic alias variants, sharded by hash(surface_form)."""
@@ -246,16 +252,28 @@ def generate_pages(sf: float, base_dir: str = "/tmp/ner_ray_fixtures", seed: int
     pages_dir = os.path.join(tmp, "pages")
     os.makedirs(pages_dir, exist_ok=True)
 
-    tm_list, tt_list = [], []
+    jobs = []
     for pid in range(n_parts):
         row0 = pid * per
         n = min(per, n_rows - row0)
         if n <= 0:
             break
-        pages, tm, tt = _gen_partition(pid, n, row0, seed)
-        pq.write_table(pages, os.path.join(pages_dir, f"part-{pid:05d}.parquet"))
-        tm_list.append(tm)
-        tt_list.append(tt)
+        jobs.append((pid, n, row0, seed, pages_dir))
+
+    # partitions are pure functions of (seed, pid) → generate them in parallel;
+    # truth sidecars come back (small), page parquet is written by the worker
+    tm_list, tt_list = [], []
+    if len(jobs) >= 4:
+        import multiprocessing as mp
+        with mp.Pool(min(len(jobs), max(2, (os.cpu_count() or 8) - 2))) as pool:
+            for tm, tt in pool.starmap(_gen_and_write, jobs):
+                tm_list.append(tm)
+                tt_list.append(tt)
+    else:
+        for job in jobs:
+            tm, tt = _gen_and_write(*job)
+            tm_list.append(tm)
+            tt_list.append(tt)
 
     pq.write_table(pa.concat_tables(tm_list), os.path.join(tmp, "truth_mentions.parquet"))
     pq.write_table(pa.concat_tables(tt_list), os.path.join(tmp, "truth_triples.parquet"))

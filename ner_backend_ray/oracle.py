@@ -39,7 +39,7 @@ class KGConfig:
         "org_pages": 'COUNT(COMPANY) > 1 OR COUNT(LOCATION) > 2',
     })
     min_link_score: float = 0.0
-    batch_size: int = 64
+    batch_size: int = 256
     link_concurrency: int = 2
     tag_concurrency: int | None = None  # None → auto (num_cpus based)
 

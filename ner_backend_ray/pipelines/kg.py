@@ -4,10 +4,10 @@ Target lifecycle (SURVEY.md §3.4):
 
     read_parquet(pages)                               [driver plans blocks]
       → map_batches(extract_text_batch)               [stateless; byte-identity invariant]
-      → map_batches(TagDocs, concurrency=N, ...)      [actor pool: clean→tag→validate→
-                                                       coalesce→groups→triples per doc]
-      → explode to mentions / groups / triples        [stateless]
-      → LinkMentions / LinkTriples actor pools        [broadcast alias dict]
+      → map_batches(TagDocs, concurrency=N, ...)      [ONE actor pool: clean→tag→validate→
+                                                       coalesce→groups→triples→link per doc;
+                                                       model + alias dict load once per actor]
+      → explode to mentions / groups / triples        [stateless, vectorized]
       → combiner map_batches + groupby shuffles       [canonicalize, edge dedup]
       → sort(canonical_id) → write_parquet
 
@@ -31,7 +31,6 @@ from ..oracle import KGConfig
 from ..stages.canonicalize import (bucket_pairs, canonical_id, lsh_band_rows,
                                    finalize_node_group, partial_node_counts)
 from ..stages.extract import extract_text_batch
-from ..stages.link import LinkMentions, LinkTriples
 from ..stages.tag import TagDocs, explode_groups, explode_mentions, explode_triples
 
 
@@ -45,12 +44,36 @@ def _auto_concurrency(cfg: KGConfig) -> int:
     return max(2, n - 2)  # leave CPUs for read/explode/write stages
 
 
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 4
+
+
+def _read_blocks() -> int:
+    """Read blocks = 3 × tag-actor-pool size: an exact multiple so the final task
+    wave fills every actor (small tail), few enough blocks that the ~20 ms/block
+    driver cost of every downstream execution stays bounded. The docs dataset is
+    deliberately NEVER repartitioned: Ray's shuffle=False repartition funnels all
+    data through a single reduce task (measured ~19 s for 2 GB) — a serial,
+    data-proportional cost that would cap scaling efficiency."""
+    actors = max(2, _cluster_cpus() - 2)
+    return max(12, min(180, 3 * actors))
+
+
 def read_pages(fixture_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(fixture_dir, "pages"))
+    return ray.data.read_parquet(os.path.join(fixture_dir, "pages"),
+                                 override_num_blocks=_read_blocks())
 
 
 def tag_pages(pages: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> ray.data.Dataset:
-    """pages → per-doc nested dataset (url, token_count, mentions, groups, triples)."""
+    """pages → per-doc nested dataset (url, token_count, mentions, groups, triples).
+
+    Tagging and entity linking are FUSED into one actor pool: the alias dictionary
+    is load-once state exactly like the model weights (processor.go:408-436
+    pattern), so mentions/triples leave the pool already linked — one pass over the
+    documents instead of three, no extra actor pools to spin up."""
     ds = pages.map_batches(extract_text_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
     # the tagger works on raw bytes (html); drop everything else before the actor
@@ -61,7 +84,9 @@ def tag_pages(pages: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> ray.d
         fn_constructor_kwargs=dict(
             model_type=cfg.model_type, model_kwargs=cfg.model_kwargs,
             tags=cfg.tags, custom_patterns=cfg.custom_patterns,
-            group_queries=cfg.group_queries, text_column="html"),
+            group_queries=cfg.group_queries, text_column="html",
+            alias_path=os.path.join(fixture_dir, "alias_dict.parquet"),
+            min_link_score=cfg.min_link_score),
         batch_size=cfg.batch_size,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -71,21 +96,15 @@ def tag_pages(pages: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> ray.d
 
 
 def _linked_mentions(docs: ray.data.Dataset, cfg: KGConfig, alias_path: str) -> ray.data.Dataset:
-    return (docs
-            .map_batches(explode_mentions, batch_format="pyarrow")
-            .map_batches(LinkMentions,
-                         fn_constructor_kwargs=dict(alias_path=alias_path,
-                                                    min_score=cfg.min_link_score),
-                         batch_format="pyarrow", concurrency=cfg.link_concurrency))
+    """Flat linked mentions. When the tag stage fused linking (it always does in
+    this pipeline) the explode passes the link columns straight through; the
+    standalone LinkMentions actor pool remains for pipelines that tag without a
+    dictionary (pipelines/checkpointed.py composes it explicitly)."""
+    return docs.map_batches(explode_mentions, batch_format="pyarrow")
 
 
 def _linked_triples(docs: ray.data.Dataset, cfg: KGConfig, alias_path: str) -> ray.data.Dataset:
-    return (docs
-            .map_batches(explode_triples, batch_format="pyarrow")
-            .map_batches(LinkTriples,
-                         fn_constructor_kwargs=dict(alias_path=alias_path,
-                                                    min_score=cfg.min_link_score),
-                         batch_format="pyarrow", concurrency=cfg.link_concurrency))
+    return docs.map_batches(explode_triples, batch_format="pyarrow")
 
 
 def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
@@ -107,6 +126,7 @@ def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
 
     pair_rows = (nodes_pre
                  .map_batches(band_rows, batch_format="pyarrow")
+                 .repartition(8)
                  .groupby(["band", "band_hash"])
                  .map_groups(bucket_pairs, batch_format="pyarrow")
                  .take_all())
@@ -120,11 +140,18 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
     shuffle #1: canonicalization groupby over combiner partials;
     shuffle #2 avoided: the cluster root map is broadcast (ray.put), not joined;
     shuffle #3: edge dedup groupby over combiner partials."""
+    # compact the (small) combiner partials to a handful of blocks before the
+    # sort shuffle: Ray's sort partitions = input blocks, so B upstream blocks
+    # would mean B² tiny shuffle objects (O(100k) at a few hundred blocks)
     nodes_pre = (mentions
                  .map_batches(partial_node_counts, batch_format="pyarrow")
+                 .repartition(32)
                  .groupby("entity_key")
                  .map_groups(finalize_node_group, batch_format="pyarrow"))
-    nodes_pre = nodes_pre.materialize()  # small (distinct entities); reused twice
+    # small (distinct entities) but scattered over as many tiny blocks as the
+    # mention table had — compact before the downstream shuffles so their task
+    # count tracks the data, not the upstream block count
+    nodes_pre = nodes_pre.repartition(8).materialize()
 
     root_map_ref = ray.put(build_root_map(nodes_pre))
 
@@ -153,50 +180,156 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
             "mention_count": pa.array([total], pa.int64()),
         })
 
+    # groupby uses a range-partitioned sort shuffle, so its output is already
+    # globally ordered by canonical_id — no extra sort() shuffle needed
+    # (asserted by tests/test_pipeline_ray.py::test_graph_outputs_sorted)
     nodes = (nodes_pre
              .map_batches(apply_roots_nodes, batch_format="pyarrow")
              .groupby("canonical_id")
-             .map_groups(merge_node_group, batch_format="pyarrow")
-             .sort("canonical_id"))
+             .map_groups(merge_node_group, batch_format="pyarrow"))
 
-    # shuffle #3: edge dedup/weights over combiner partials
+    # shuffle #3: edge dedup/weights over combiner partials. canonical_id is
+    # memoized over the batch's distinct keys (few) so the per-row cost is one
+    # dict lookup; the group-count itself is a vectorized Arrow kernel.
     def partial_edge_counts(batch: pa.Table) -> pa.Table:
         root_map = ray.get(root_map_ref)
-        agg: dict[tuple[str, str, str], int] = {}
-        for sk, p, ok in zip(batch["subj_key"].to_pylist(),
-                             batch["pred"].to_pylist(),
-                             batch["obj_key"].to_pylist()):
-            k = (canonical_id(root_map.get(sk, sk)), p,
-                 canonical_id(root_map.get(ok, ok)))
-            agg[k] = agg.get(k, 0) + 1
-        keys = list(agg)
-        return pa.table({
-            "subj_id": pa.array([k[0] for k in keys], pa.string()),
-            "pred": pa.array([k[1] for k in keys], pa.string()),
-            "obj_id": pa.array([k[2] for k in keys], pa.string()),
-            "partial_weight": pa.array([agg[k] for k in keys], pa.int64()),
+        sk = batch["subj_key"].to_pylist()
+        ok = batch["obj_key"].to_pylist()
+        memo = {k: canonical_id(root_map.get(k, k)) for k in set(sk) | set(ok)}
+        t = pa.table({
+            "subj_id": pa.array([memo[k] for k in sk], pa.string()),
+            "pred": batch["pred"],
+            "obj_id": pa.array([memo[k] for k in ok], pa.string()),
         })
+        agg = t.group_by(["subj_id", "pred", "obj_id"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["subj_id", "pred", "obj_id", "partial_weight"])
 
     from ray.data.aggregate import Sum
     edges = (triples
              .map_batches(partial_edge_counts, batch_format="pyarrow")
+             .repartition(32)  # compact partials → bounded sort-shuffle fan-out
              .groupby(["subj_id", "pred", "obj_id"])
-             .aggregate(Sum("partial_weight", alias_name="weight"))
-             .sort(["subj_id", "pred", "obj_id"]))
+             .aggregate(Sum("partial_weight", alias_name="weight")))
 
     return nodes, edges
 
 
+def _edge_key_partials(batch: pa.Table) -> pa.Table:
+    """Combiner over flat triples keyed by RAW entity keys — the canonical-root
+    mapping is applied after aggregation (on the tiny grouped table), so the big
+    shuffle needs no broadcast state at all."""
+    t = pa.table({"subj_key": batch["subj_key"], "pred": batch["pred"],
+                  "obj_key": batch["obj_key"]})
+    agg = t.group_by(["subj_key", "pred", "obj_key"]).aggregate([([], "count_all")])
+    return agg.rename_columns(["subj_key", "pred", "obj_key", "partial_weight"])
+
+
+def _merge_node_group(group: pa.Table) -> pa.Table:
+    cid = group["canonical_id"][0].as_py()
+    label_counts: dict[str, int] = {}
+    surfaces: set[str] = set()
+    total = 0
+    for label, sf_list, cnt in zip(group["label"].to_pylist(),
+                                   group["surface_forms"].to_pylist(),
+                                   group["mention_count"].to_pylist()):
+        label_counts[label] = label_counts.get(label, 0) + cnt
+        surfaces.update(sf_list)
+        total += cnt
+    label = max(sorted(label_counts), key=lambda x: label_counts[x])
+    return pa.table({
+        "canonical_id": pa.array([cid], pa.string()),
+        "surface_forms": pa.array([sorted(surfaces)], pa.list_(pa.string())),
+        "label": pa.array([label], pa.string()),
+        "mention_count": pa.array([total], pa.int64()),
+    })
+
+
 def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[str, ray.data.Dataset]:
     """Per-doc nested dataset → {mentions, groups, triples, nodes, edges} datasets.
-    ``docs`` should be materialized or parquet-backed (it is consumed 4×)."""
+    ``docs`` should be materialized or parquet-backed (it is consumed 4×).
+
+    Executions stay sequential — concurrent Dataset executions contend for the
+    cluster and lose (measured) — but every shuffle input is block-count-bounded
+    (see _target_blocks) and all combiner partials are vectorized Arrow kernels,
+    so per-stage overhead is a handful of seconds regardless of scale."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import canonical_id, finalize_node_group, partial_node_counts
+
     alias_path = os.path.join(fixture_dir, "alias_dict.parquet")
 
     mentions = _linked_mentions(docs, cfg, alias_path).materialize()
     triples = _linked_triples(docs, cfg, alias_path).materialize()
     groups = docs.map_batches(explode_groups, batch_format="pyarrow")
 
-    nodes, edges = build_graph(mentions, triples)
+    # the sort-based groupby creates (input blocks)² shuffle partitions, each with
+    # ~20 ms of driver-side cost — so combiner partials are compacted to 8 blocks
+    # first (they are small: distinct keys per block, not mentions). At real scale
+    # this knob tracks partial volume (rows per block), not a constant.
+    nodes_pre = (mentions
+                 .map_batches(partial_node_counts, batch_format="pyarrow")
+                 .repartition(8)
+                 .groupby("entity_key")
+                 .map_groups(finalize_node_group, batch_format="pyarrow")
+                 .materialize())
+
+    root_map_ref = ray.put(build_root_map(nodes_pre))
+
+    def apply_roots_nodes(batch: pa.Table) -> pa.Table:
+        rm = ray.get(root_map_ref)
+        cids = [canonical_id(rm.get(k, k)) for k in batch["entity_key"].to_pylist()]
+        return batch.append_column("canonical_id", pa.array(cids, pa.string()))
+
+    # groupby's range-partitioned sort shuffle leaves output globally key-ordered,
+    # so no separate sort() pass (tests/test_pipeline_ray.py asserts this)
+    nodes = (nodes_pre
+             .map_batches(apply_roots_nodes, batch_format="pyarrow")
+             .groupby("canonical_id")
+             .map_groups(_merge_node_group, batch_format="pyarrow"))
+
+    def partial_edge_counts(batch: pa.Table) -> pa.Table:
+        """Combiner: canonical ids memoized over the batch's distinct keys (few),
+        group-count via a vectorized Arrow kernel, and an int64 hash bucket as
+        the shuffle key — Ray's sort-based aggregate on multi-string keys is
+        ~10k rows/s/core (measured); sorting an int64 bucket and doing the real
+        aggregation with Arrow's C group_by inside each bucket is ~100× faster.
+        Only (bucket, ids, partial weight) rows reach the shuffle."""
+        import zlib
+        rm = ray.get(root_map_ref)
+        raw = _edge_key_partials(batch)
+        sk = raw["subj_key"].to_pylist()
+        ok = raw["obj_key"].to_pylist()
+        memo = {k: canonical_id(rm.get(k, k)) for k in set(sk) | set(ok)}
+        subj = [memo[k] for k in sk]
+        obj = [memo[k] for k in ok]
+        pred = raw["pred"].to_pylist()
+        buckets = [zlib.crc32(f"{s}\x1f{p}\x1f{o}".encode()) & 63
+                   for s, p, o in zip(subj, pred, obj)]
+        t = pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "subj_id": pa.array(subj, pa.string()),
+            "pred": raw["pred"],
+            "obj_id": pa.array(obj, pa.string()),
+            "partial_weight": raw["partial_weight"],
+        })
+        agg = t.group_by(["bucket", "subj_id", "pred", "obj_id"]).aggregate(
+            [("partial_weight", "sum")])
+        return agg.rename_columns(["bucket", "subj_id", "pred", "obj_id",
+                                   "partial_weight"])
+
+    def sum_bucket(group: pa.Table) -> pa.Table:
+        agg = (group.group_by(["subj_id", "pred", "obj_id"])
+               .aggregate([("partial_weight", "sum")]))
+        return agg.rename_columns(["subj_id", "pred", "obj_id", "weight"])
+
+    # final sort is over the aggregated (small) edge list, not the triple stream
+    edges = (triples
+             .map_batches(partial_edge_counts, batch_format="pyarrow")
+             .repartition(8)   # compact partials → bounded sort-shuffle fan-out
+             .groupby("bucket")
+             .map_groups(sum_bucket, batch_format="pyarrow")
+             .sort(["subj_id", "pred", "obj_id"]))
+
     return {"mentions": mentions, "groups": groups, "triples": triples,
             "nodes": nodes, "edges": edges}
 

@@ -78,20 +78,11 @@ def jaccard(a: str, b: str) -> float:
 
 def partial_node_counts(batch: pa.Table) -> pa.Table:
     """Combiner: mentions-with-entity_key batch → distinct
-    (entity_key, label, surface, partial_count) rows."""
-    agg: dict[tuple[str, str, str], int] = {}
-    for key, label, text in zip(batch["entity_key"].to_pylist(),
-                                batch["label"].to_pylist(),
-                                batch["text"].to_pylist()):
-        k = (key, label, text)
-        agg[k] = agg.get(k, 0) + 1
-    keys = list(agg)
-    return pa.table({
-        "entity_key": pa.array([k[0] for k in keys], pa.string()),
-        "label": pa.array([k[1] for k in keys], pa.string()),
-        "surface": pa.array([k[2] for k in keys], pa.string()),
-        "partial_count": pa.array([agg[k] for k in keys], pa.int64()),
-    })
+    (entity_key, label, surface, partial_count) rows (vectorized group-count)."""
+    t = pa.table({"entity_key": batch["entity_key"], "label": batch["label"],
+                  "surface": batch["text"]})
+    agg = t.group_by(["entity_key", "label", "surface"]).aggregate([([], "count_all")])
+    return agg.rename_columns(["entity_key", "label", "surface", "partial_count"])
 
 
 def finalize_node_group(group: pa.Table) -> pa.Table:

@@ -27,9 +27,20 @@ MENTION_TYPE = pa.struct([
     ("is_custom", pa.bool_()),
 ])
 
+# when TagDocs is given an alias_path the link step is fused into the tag actor
+# (one pool, one pass — the dictionary is load-once state exactly like the model)
+LINKED_MENTION_TYPE = pa.struct(list(MENTION_TYPE) + [
+    ("entity_key", pa.string()), ("candidate_id", pa.string()),
+    ("link_score", pa.float64()),
+])
+
 TRIPLE_TYPE = pa.struct([
     ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
     ("subj_label", pa.string()), ("obj_label", pa.string()),
+])
+
+LINKED_TRIPLE_TYPE = pa.struct(list(TRIPLE_TYPE) + [
+    ("subj_key", pa.string()), ("obj_key", pa.string()),
 ])
 
 DOC_SCHEMA = pa.schema([
@@ -55,7 +66,9 @@ class TagDocs:
                  custom_patterns: dict[str, str] | None = None,
                  group_queries: dict[str, str] | None = None,
                  text_column: str = "html",
-                 emit_triples: bool = True):
+                 emit_triples: bool = True,
+                 alias_path: str | None = None,
+                 min_link_score: float = 0.0):
         from ..models import load_tagger  # late import keeps actor pickling light
         self.model = load_tagger(model_type, **(model_kwargs or {}))
         self.tags = set(tags) if tags is not None else None
@@ -64,6 +77,10 @@ class TagDocs:
         self.groups = {name: parse_query(q) for name, q in (group_queries or {}).items()}
         self.text_column = text_column
         self.emit_triples = emit_triples
+        self.aliases = None
+        if alias_path is not None:
+            from .link import AliasDict
+            self.aliases = AliasDict(alias_path, min_link_score)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -80,6 +97,7 @@ class TagDocs:
         out_mentions: list[list[dict]] = []
         out_groups: list[list[str]] = []
         out_triples: list[list[dict]] = []
+        link = self.aliases.link if self.aliases is not None else None
         for text in texts:
             res = run_inference_on_doc(text, self.model, self.tags, self.custom, self.groups)
             out_tokens.append(res.token_count)
@@ -89,72 +107,74 @@ class TagDocs:
                  "rcontext": _decode(m.rcontext), "is_custom": m.label in custom_names}
                 for m in res.mentions
             ]
+            if link is not None:
+                for m in mentions:
+                    key, cand, score = link(m["text"], m["label"])
+                    m["entity_key"] = key
+                    m["candidate_id"] = cand
+                    m["link_score"] = score
             out_mentions.append(mentions)
             out_groups.append(res.groups)
             if self.emit_triples:
-                out_triples.append([
+                triples = [
                     {"subj": s, "pred": p, "obj": o, "subj_label": sl, "obj_label": ol}
                     for (s, p, o, sl, ol) in extract_triples_from_doc(text, mentions)
-                ])
+                ]
+                if link is not None:
+                    for t in triples:
+                        t["subj_key"] = link(t["subj"], t["subj_label"])[0]
+                        t["obj_key"] = link(t["obj"], t["obj_label"])[0]
+                out_triples.append(triples)
             else:
                 out_triples.append([])
 
+        mention_type = LINKED_MENTION_TYPE if link is not None else MENTION_TYPE
+        triple_type = LINKED_TRIPLE_TYPE if link is not None else TRIPLE_TYPE
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "token_count": pa.array(out_tokens, pa.int64()),
-            "mentions": pa.array(out_mentions, pa.list_(MENTION_TYPE)),
+            "mentions": pa.array(out_mentions, pa.list_(mention_type)),
             "groups": pa.array(out_groups, pa.list_(pa.string())),
-            "triples": pa.array(out_triples, pa.list_(TRIPLE_TYPE)),
+            "triples": pa.array(out_triples, pa.list_(triple_type)),
         })
+
+
+def _explode_struct_list(batch: pa.Table, list_col: str,
+                         parent_cols: tuple[str, ...] = ("url",)) -> pa.Table:
+    """Vectorized explode: list<struct> column → flat table with parent columns
+    repeated per element and one column per struct field (schema-generic, so the
+    fused linked schemas pass through untouched)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lst = batch[list_col].combine_chunks()
+    lengths = pc.list_value_length(lst).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lst)
+    idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lengths))
+    cols: dict[str, pa.Array] = {c: pc.take(batch[c], idx) for c in parent_cols}
+    for field in lst.type.value_type:
+        cols[field.name] = pc.struct_field(flat, field.name)
+    return pa.table(cols)
 
 
 def explode_mentions(batch: pa.Table) -> pa.Table:
     """Stateless: per-doc nested rows → flat mentions table (the ObjectEntity analog,
-    internal/database/schema.go:135-144)."""
-    urls, starts, ends, labels, texts, lctx, rctx, is_custom = [], [], [], [], [], [], [], []
-    mcol = batch["mentions"].to_pylist()
-    ucol = batch["url"].to_pylist()
-    for url, mentions in zip(ucol, mcol):
-        for m in mentions:
-            urls.append(url); starts.append(m["start"]); ends.append(m["end"])
-            labels.append(m["label"]); texts.append(m["text"])
-            lctx.append(m["lcontext"]); rctx.append(m["rcontext"])
-            is_custom.append(m["is_custom"])
-    return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "start": pa.array(starts, pa.int64()),
-        "end": pa.array(ends, pa.int64()),
-        "label": pa.array(labels, pa.string()),
-        "text": pa.array(texts, pa.string()),
-        "lcontext": pa.array(lctx, pa.string()),
-        "rcontext": pa.array(rctx, pa.string()),
-        "is_custom": pa.array(is_custom, pa.bool_()),
-    })
+    internal/database/schema.go:135-144). Linked fields pass through when present."""
+    return _explode_struct_list(batch, "mentions")
 
 
 def explode_triples(batch: pa.Table) -> pa.Table:
-    """Stateless: per-doc nested triples → flat (url, subj, pred, obj, labels)."""
-    o_url, o_s, o_p, o_o, o_sl, o_ol = [], [], [], [], [], []
-    for url, triples in zip(batch["url"].to_pylist(), batch["triples"].to_pylist()):
-        for t in triples:
-            o_url.append(url); o_s.append(t["subj"]); o_p.append(t["pred"])
-            o_o.append(t["obj"]); o_sl.append(t["subj_label"]); o_ol.append(t["obj_label"])
-    return pa.table({
-        "url": pa.array(o_url, pa.string()),
-        "subj": pa.array(o_s, pa.string()),
-        "pred": pa.array(o_p, pa.string()),
-        "obj": pa.array(o_o, pa.string()),
-        "subj_label": pa.array(o_sl, pa.string()),
-        "obj_label": pa.array(o_ol, pa.string()),
-    })
+    """Stateless: per-doc nested triples → flat (url, subj, pred, obj, labels[, keys])."""
+    return _explode_struct_list(batch, "triples")
 
 
 def explode_groups(batch: pa.Table) -> pa.Table:
     """Stateless: (url, group) rows — the ObjectGroup analog (schema.go:146-150)."""
-    urls, groups = [], []
-    for url, gs in zip(batch["url"].to_pylist(), batch["groups"].to_pylist()):
-        for g in gs:
-            urls.append(url)
-            groups.append(g)
-    return pa.table({"url": pa.array(urls, pa.string()),
-                     "group_name": pa.array(groups, pa.string())})
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lst = batch["groups"].combine_chunks()
+    lengths = pc.list_value_length(lst).fill_null(0).to_numpy(zero_copy_only=False)
+    idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lengths))
+    return pa.table({"url": pc.take(batch["url"], idx),
+                     "group_name": pc.list_flatten(lst)})

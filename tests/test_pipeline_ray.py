@@ -57,6 +57,13 @@ def test_streaming_pipeline_matches_oracle(ray_session, tiny_fixture, oracle_res
     ecols = ["subj_id", "pred", "obj_id", "weight"]
     assert _table_key_set(got_e, ecols) == _table_key_set(want_e, ecols)
 
+    # sortedness contract: the range-partitioned groupby shuffle leaves nodes /
+    # edges globally ordered by their keys without a separate sort() pass
+    assert got_n["canonical_id"].to_pylist() == sorted(got_n["canonical_id"].to_pylist())
+    ekeys = list(zip(got_e["subj_id"].to_pylist(), got_e["pred"].to_pylist(),
+                     got_e["obj_id"].to_pylist()))
+    assert ekeys == sorted(ekeys)
+
 
 def test_extract_invariant_detects_mismatch(ray_session, tiny_fixture):
     from ner_backend_ray.stages.extract import extract_text_batch
