@@ -118,16 +118,20 @@ def run_scaling() -> dict:
 
     walls: dict[int, float] = {}
     counts: dict = {}
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--kg-only",
-             "--cpus", str(cpus), "--kg-sf", str(SCALING_SF)],
-            capture_output=True, text=True, check=True, cwd=os.path.dirname(
-                os.path.abspath(__file__)))
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        rec = json.loads(line)
-        walls[cpus] = rec["queries"]["kg_pipeline"]
-        counts = rec.get("kg_counts", counts)
+        best = float("inf")
+        for _ in range(repeats):  # min-of-N: the sandbox VM is noisy (±30%)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kg-only",
+                 "--cpus", str(cpus), "--kg-sf", str(SCALING_SF)],
+                capture_output=True, text=True, check=True, cwd=os.path.dirname(
+                    os.path.abspath(__file__)))
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            rec = json.loads(line)
+            best = min(best, rec["queries"]["kg_pipeline"])
+            counts = rec.get("kg_counts", counts)
+        walls[cpus] = best
     t8, t32 = walls[8], walls[32]
     eff = t8 / (4.0 * t32)
     docs = counts.get("docs", 0)

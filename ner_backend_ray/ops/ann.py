@@ -138,3 +138,100 @@ def lsh_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "neighbor_id": pa.array(out_n, pa.int64()),
                      "rank": pa.array(out_r, pa.int64())})
+
+
+# --------------------------------- IVF ---------------------------------
+
+def build_ivf_centroids(embs: ray.data.Dataset, n_centroids: int = 16,
+                        iters: int = 5, seed: int = 11,
+                        vec_col: str = "embedding",
+                        sample_rows: int = 4096) -> np.ndarray:
+    """Deterministic distributed-ish k-means coarse quantizer: init from a
+    driver-side sample (small), then `iters` rounds of assign(+partial sums) via
+    map_batches and centroid update on the driver. The per-round shuffle moves
+    only (centroid, partial_sum, count) rows — the classic combiner pattern."""
+    sample = embs.limit(sample_rows).take_all()
+    mat = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    centroids = mat[np.sort(idx)]
+
+    for _ in range(iters):
+        cref = centroids
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_as_matrix(batch[vec_col]))
+            assign = np.argmax(vecs @ cref.T, axis=1)
+            sums, counts = [], []
+            for c in range(len(cref)):
+                mask = assign == c
+                sums.append(vecs[mask].sum(axis=0))
+                counts.append(int(mask.sum()))
+            return pa.table({
+                "centroid": pa.array(range(len(cref)), pa.int32()),
+                "psum": pa.array([s.tolist() for s in sums],
+                                 pa.list_(pa.float64())),
+                "pcount": pa.array(counts, pa.int64()),
+            })
+
+        parts = embs.map_batches(partial, batch_format="pyarrow").take_all()
+        dim = centroids.shape[1]
+        acc = np.zeros((len(centroids), dim))
+        cnt = np.zeros(len(centroids))
+        for r in parts:
+            acc[r["centroid"]] += np.array(r["psum"])
+            cnt[r["centroid"]] += r["pcount"]
+        nonzero = cnt > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = _normalize(acc[nonzero] / cnt[nonzero, None])
+    return centroids
+
+
+def ivf_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
+             k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+             centroids: np.ndarray | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """IVF approximate top-k: score only vectors whose nearest centroid is among
+    each query's `nprobe` closest centroids. Centroids are broadcast; candidate
+    scoring is a per-batch matmul combiner like brute_force_topk."""
+    import heapq
+    if centroids is None:
+        centroids = build_ivf_centroids(embs, n_centroids, vec_col=vec_col)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    probe_sets = [set(int(c) for c in row) for row in q_probes]
+    qids = list(query_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        assign = np.argmax(vecs @ centroids.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand = np.isin(assign, list(probe_sets[qi]))
+            if not cand.any():
+                continue
+            col = vecs[cand] @ qn[qi]
+            cids = ids[cand]
+            idx = np.lexsort((cids, -col))[:k]
+            out_q.extend([qids[qi]] * len(idx))
+            out_n.extend(cids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = embs.map_batches(partial, batch_format="pyarrow").take_all()
+    best: dict[int, list[tuple[float, int]]] = {qid: [] for qid in qids}
+    for r in partials:
+        heapq.heappush(best[r["query_id"]], (r["sim"], -r["neighbor_id"]))
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    out_q, out_n, out_r = [], [], []
+    for qid in qids:
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_id) in enumerate(ranked[:k], start=1):
+            out_q.append(qid); out_n.append(-neg_id); out_r.append(rank)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})

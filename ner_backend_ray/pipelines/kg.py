@@ -59,7 +59,7 @@ def _read_blocks() -> int:
     data through a single reduce task (measured ~19 s for 2 GB) — a serial,
     data-proportional cost that would cap scaling efficiency."""
     actors = max(2, _cluster_cpus() - 2)
-    return max(12, min(180, 3 * actors))
+    return max(48, min(180, 3 * actors))  # floor keeps task quanta fine on small clusters
 
 
 def read_pages(fixture_dir: str) -> ray.data.Dataset:
@@ -256,24 +256,67 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
 
     from ..stages.canonicalize import canonical_id, finalize_node_group, partial_node_counts
 
+    from concurrent.futures import ThreadPoolExecutor
+
     alias_path = os.path.join(fixture_dir, "alias_dict.parquet")
 
-    mentions = _linked_mentions(docs, cfg, alias_path).materialize()
-    triples = _linked_triples(docs, cfg, alias_path).materialize()
-    groups = docs.map_batches(explode_groups, batch_format="pyarrow")
+    def band_rows_from_docs(batch: pa.Table) -> pa.Table:
+        """LSH band rows straight from the per-doc dataset: the distinct surf:
+        keys of each batch (cross-batch duplicates are deduped in bucket_pairs),
+        so the root map has no dependency on the mentions/nodes chain."""
+        keys_arr = pc.struct_field(
+            pc.list_flatten(batch["mentions"].combine_chunks()), "entity_key")
+        keys, bands, hashes = [], [], []
+        for key in set(keys_arr.to_pylist()):
+            if not key.startswith("surf:"):
+                continue
+            for band, h in lsh_band_rows(key[5:]):
+                keys.append(key); bands.append(band); hashes.append(h)
+        return pa.table({"entity_key": pa.array(keys, pa.string()),
+                         "band": pa.array(bands, pa.int32()),
+                         "band_hash": pa.array(hashes, pa.int64())})
 
-    # the sort-based groupby creates (input blocks)² shuffle partitions, each with
-    # ~20 ms of driver-side cost — so combiner partials are compacted to 8 blocks
-    # first (they are small: distinct keys per block, not mentions). At real scale
-    # this knob tracks partial volume (rows per block), not a constant.
-    nodes_pre = (mentions
-                 .map_batches(partial_node_counts, batch_format="pyarrow")
-                 .repartition(8)
-                 .groupby("entity_key")
-                 .map_groups(finalize_node_group, batch_format="pyarrow")
-                 .materialize())
+    def root_map_from_docs() -> dict[str, str]:
+        from ..stages.canonicalize import resolve_roots
+        pair_rows = (docs
+                     .map_batches(band_rows_from_docs, batch_format="pyarrow")
+                     .repartition(8)
+                     .groupby(["band", "band_hash"])
+                     .map_groups(bucket_pairs, batch_format="pyarrow")
+                     .take_all())
+        return resolve_roots([(r["entity_key"], r["root"]) for r in pair_rows])
 
-    root_map_ref = ray.put(build_root_map(nodes_pre))
+    # The independent consumers of docs are small executions that don't saturate
+    # the cluster individually — overlap them (driver threads). The tag stage
+    # itself is NOT overlapped with anything: it saturates the CPUs and
+    # concurrent executions only contend (measured). Dependency chains:
+    #   docs → {mentions, triples, groups, root_map}
+    #   mentions → nodes_pre → nodes;   {triples, root_map} → edges
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_mentions = ex.submit(
+            lambda: _linked_mentions(docs, cfg, alias_path).materialize())
+        f_triples = ex.submit(
+            lambda: _linked_triples(docs, cfg, alias_path).materialize())
+        f_groups = ex.submit(
+            lambda: docs.map_batches(explode_groups,
+                                     batch_format="pyarrow").materialize())
+        f_root_map = ex.submit(root_map_from_docs)
+        mentions = f_mentions.result()
+        # the sort-based groupby creates (input blocks)² shuffle partitions, each
+        # with ~20 ms of driver-side cost — so combiner partials are compacted to
+        # 8 blocks first (they are small: distinct keys per block, not mentions).
+        # At real scale this knob tracks partial volume, not a constant.
+        f_nodes_pre = ex.submit(
+            lambda: (mentions
+                     .map_batches(partial_node_counts, batch_format="pyarrow")
+                     .repartition(8)
+                     .groupby("entity_key")
+                     .map_groups(finalize_node_group, batch_format="pyarrow")
+                     .materialize()))
+        triples = f_triples.result()
+        groups = f_groups.result()
+        root_map_ref = ray.put(f_root_map.result())
+        nodes_pre = f_nodes_pre.result()
 
     def apply_roots_nodes(batch: pa.Table) -> pa.Table:
         rm = ray.get(root_map_ref)
@@ -329,6 +372,12 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
              .groupby("bucket")
              .map_groups(sum_bucket, batch_format="pyarrow")
              .sort(["subj_id", "pred", "obj_id"]))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_nodes = ex.submit(nodes.materialize)
+        f_edges = ex.submit(edges.materialize)
+        nodes = f_nodes.result()
+        edges = f_edges.result()
 
     return {"mentions": mentions, "groups": groups, "triples": triples,
             "nodes": nodes, "edges": edges}

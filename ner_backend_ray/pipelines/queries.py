@@ -300,6 +300,63 @@ def q_dsl_groups(sf_dir: str):
     return flat.map_batches(to_ids, batch_format="pyarrow")
 
 
+def q_preview(sf_dir: str):
+    """Preview builder (SURVEY.md §2.2 M9, processor.go:438-517): first ≤1000
+    tokens re-tagged; emits per-doc preview-token and tagged-token counts."""
+    from ..ops.preview import PreviewDocs
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": pc.cast(batch["doc_id"], pa.string()),
+                         "text": batch["text"]})
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    prev = ds.map_batches(to_pages, batch_format="pyarrow").map_batches(
+        PreviewDocs,
+        fn_constructor_kwargs=dict(model_type="regex",
+                                   model_kwargs={"patterns": _WORD_PATTERNS},
+                                   text_column="text"),
+        batch_size=256, batch_format="pyarrow",
+        concurrency=max(1, min(8, n_cpus - 2)), num_cpus=1)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.list_value_length(batch["tokens"]).cast(pa.int64())
+        tagged = [sum(1 for t in tags if t != "O")
+                  for tags in batch["tags"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["url"].cast(pa.int64()),
+            "n_preview_tokens": n_tokens,
+            "n_tagged": pa.array(tagged, pa.int64()),
+        })
+
+    return prev.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_redacted_docs(sf_dir: str):
+    """Redaction (internal/chat/session.go:67-107): stable [LABEL_n] placeholders
+    per distinct (surface, label); single-surface patterns make it SQL-mirrorable."""
+    from ..models import load_tagger
+    from ..ops.redact import redact_text
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = load_tagger("regex", patterns=_WORD_PATTERNS)
+        out = []
+        for t in batch["text"].to_pylist():
+            b = t.encode("utf-8")
+            ents = [{"start": e.start, "end": e.end, "label": e.label,
+                     "text": e.text.decode("utf-8", "ignore")}
+                    for e in m.predict(b)]
+            red, _ = redact_text(b, ents)
+            out.append(red)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "redacted": pa.array(out, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; semantics pinned by tests/)
 # --------------------------------------------------------------------------
@@ -419,6 +476,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
+    "preview": q_preview,
+    "redacted_docs": q_redacted_docs,
     "minhash_neardups": q_minhash_neardups,
     "simhash_neardups": q_simhash_neardups,
     "embedding_neardups": q_embedding_neardups,
@@ -521,6 +580,22 @@ ORACLE_SQL = {
             FROM documents)
         SELECT doc_id, label, CAST(n_runs AS BIGINT) AS n_runs
         FROM r WHERE n_runs > 0""",
+    "preview": r"""
+        WITH p AS (SELECT doc_id,
+                          array_to_string((regexp_extract_all(text, '\S+'))[1:1000], ' ')
+                              AS prefix,
+                          len(regexp_extract_all(text, '\S+')) AS nt
+                   FROM documents)
+        SELECT doc_id,
+               CAST(LEAST(nt, 1000) AS BIGINT) AS n_preview_tokens,
+               CAST(len(regexp_extract_all(prefix, '\bspark\b'))
+                    + len(regexp_extract_all(prefix, '\bjoin\b')) AS BIGINT) AS n_tagged
+        FROM p""",
+    "redacted_docs": r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '\bspark\b', '[SPARKW_1]', 'g'),
+                              '\bjoin\b', '[JOINW_1]', 'g') AS redacted
+        FROM documents""",
     "dsl_groups": r"""
         WITH c AS (SELECT doc_id,
                           len(regexp_extract_all(text, '\bspark\b')) AS n_spark,

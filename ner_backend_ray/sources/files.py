@@ -1,0 +1,79 @@
+"""Raw-file source with extension-dispatch parsing (SURVEY.md §2.1 S1/S2/S5-S7).
+
+The reference walks a bucket/directory (internal/storage/s3_connector.go:71-93,
+local_connector.go:47-73) and dispatches on file extension
+(internal/storage/parser.go:33-55): plaintext family → identity bytes
+(parser.go:98-122); ``.pdf`` → go-fitz text (parser.go:57-96), stubbed here (the
+PDF lib isn't in this container); anything else → *skipped*, counted but not
+failed (internal/core/processor.go:321-328).
+
+Ray form: ``ray.data.read_binary_files(paths, include_paths=True)`` does the
+listing/reading (S1/S2/S8 subsumed), then one stateless ``map_batches`` parses and
+routes. Status column carries succeeded/skipped/failed — the reference's file
+counters (processor.go:140-153) become a trivial groupby over it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+# parser.go:37-49
+SUPPORTED_EXTENSIONS = {".txt", ".csv", ".html", ".json", ".xml"}
+PDF_EXTENSION = ".pdf"
+MAX_CHUNK_BYTES = 512 * 1024 * 1024  # parser.go:22-24
+
+
+def parse_pdf_stub(data: bytes) -> str:
+    """Extension point for the reference's parsePdf (parser.go:57-96). The PDF
+    text library is not available in this environment; plug a real extractor in
+    here at deploy time."""
+    raise NotImplementedError("PDF parsing requires an external text extractor")
+
+
+def parse_files_batch(batch: pa.Table, path_col: str = "path",
+                      data_col: str = "bytes") -> pa.Table:
+    """(path, bytes) rows → (path, text, status) rows.
+
+    status: "succeeded" (plaintext family, text = identity bytes decoded),
+    "skipped" (unsupported extension — counted, not failed; processor.go:321-328),
+    "failed" (pdf stub / oversized)."""
+    paths = batch[path_col].to_pylist()
+    datas = batch[data_col].to_pylist()
+    texts: list[str] = []
+    statuses: list[str] = []
+    for path, data in zip(paths, datas):
+        ext = os.path.splitext(path)[1].lower()
+        if ext in SUPPORTED_EXTENSIONS:
+            if len(data) > MAX_CHUNK_BYTES:
+                texts.append("")
+                statuses.append("failed")
+            else:
+                texts.append(data.decode("utf-8", "ignore"))
+                statuses.append("succeeded")
+        elif ext == PDF_EXTENSION:
+            try:
+                texts.append(parse_pdf_stub(data))
+                statuses.append("succeeded")
+            except NotImplementedError:
+                texts.append("")
+                statuses.append("failed")
+        else:
+            texts.append("")
+            statuses.append("skipped")
+    return pa.table({
+        "path": pa.array(paths, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "status": pa.array(statuses, pa.string()),
+    })
+
+
+def read_raw_files(paths: str | list[str]) -> ray.data.Dataset:
+    """Directory/file list → parsed (path, text, status) Dataset. File counters
+    (succeeded/failed/skipped/total — processor.go:140-153) are
+    ``ds.groupby("status").count()``."""
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(parse_files_batch, batch_format="pyarrow")
