@@ -393,6 +393,20 @@ def q_lsh_topk(sf_dir: str):
                     probe_bits=2)
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF ANN (scale path): deterministic k-means coarse quantizer + nprobe
+    candidate scoring. Approximate → rows-only check; recall pinned by tests."""
+    from ..ops.ann import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], 3))
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    embs = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(embs, queries, qt["vec_id"].to_pylist(), k=5,
+                    n_centroids=8, nprobe=4)
+
+
 def q_fingerprints(sf_dir: str):
     ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
@@ -482,6 +496,7 @@ QUERIES = {
     "simhash_neardups": q_simhash_neardups,
     "embedding_neardups": q_embedding_neardups,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "fingerprints": q_fingerprints,
     "kg_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,

@@ -196,3 +196,24 @@ def test_multimodal_stub_shapes(ray_session):
     assert len(frames) == 24
     with pytest.raises(NotImplementedError):
         DecodeImage(deterministic_fake=False)
+
+
+def test_ivf_topk_self_neighbor_and_recall(embs_ds):
+    from ner_backend_ray.ops.ann import brute_force_topk, build_ivf_centroids, ivf_topk
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    queries = mat[:3]
+    cents = build_ivf_centroids(embs_ds, n_centroids=8, iters=3)
+    assert cents.shape[1] == mat.shape[1]
+    exact = brute_force_topk(embs_ds, queries, [0, 1, 2], k=5).to_pylist()
+    approx = ivf_topk(embs_ds, queries, [0, 1, 2], k=5, nprobe=4,
+                      centroids=cents).to_pylist()
+    exact_sets = {q: {r["neighbor_id"] for r in exact if r["query_id"] == q}
+                  for q in (0, 1, 2)}
+    approx_sets = {q: {r["neighbor_id"] for r in approx if r["query_id"] == q}
+                   for q in (0, 1, 2)}
+    for q in (0, 1, 2):
+        # self-vector shares its own centroid by construction → always found
+        assert q in approx_sets[q]
+    recall = np.mean([len(exact_sets[q] & approx_sets[q]) / 5 for q in (0, 1, 2)])
+    assert recall >= 0.4  # nprobe=4 of 8 centroids ≈ half the space scanned
