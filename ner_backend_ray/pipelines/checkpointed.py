@@ -192,3 +192,29 @@ def run_kg_checkpointed(fixture_dir: str, out_dir: str, cfg: KGConfig | None = N
     s1 = run_phase1(fixture_dir, out_dir, cfg, concurrency)
     s2 = run_phase2(fixture_dir, out_dir, cfg)
     return {**s1, **s2}
+
+
+def lineage_metrics(out_dir: str) -> pa.Table:
+    """Per-partition metrics table from the lineage sidecars — the analog of the
+    reference's task-status rollup (internal/api/api.go:508-534: per-status
+    count / sum(total_size) / sum(completed_size)) and throughput metrics
+    (api.go:951-1011). One row per partition plus derived rates; aggregate with
+    a plain groupby/sum over this (small) table."""
+    done = completed_partitions(out_dir)
+    pids = sorted(done)
+    rows = [done[p] for p in pids]
+    wall = [max(1e-9, r["wall_sec"]) for r in rows]
+    return pa.table({
+        "pid": pa.array(pids, pa.int64()),
+        "input_file": pa.array([r["input"]["path"] for r in rows], pa.string()),
+        "input_bytes": pa.array([r["input"]["size"] for r in rows], pa.int64()),
+        "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+        "mentions": pa.array([r["mentions"] for r in rows], pa.int64()),
+        "groups": pa.array([r["groups"] for r in rows], pa.int64()),
+        "triples": pa.array([r["triples"] for r in rows], pa.int64()),
+        "token_count": pa.array([r["token_count"] for r in rows], pa.int64()),
+        "wall_sec": pa.array([r["wall_sec"] for r in rows], pa.float64()),
+        "mb_per_hour": pa.array(
+            [r["input"]["size"] / 1e6 / (w / 3600.0)
+             for r, w in zip(rows, wall)], pa.float64()),
+    })
