@@ -7,3 +7,11 @@ __all__ = [
     "Tagger", "load_tagger", "register_tagger",
     "RegexTagger", "PresidioTagger", "HashEmbeddingTagger", "build_default_tagger",
 ]
+
+def _windowed_hash(window_tokens: int = 100, **kwargs):
+    from .base import WindowedTagger
+    from .hash_tagger import build_default_tagger
+    return WindowedTagger(build_default_tagger(**kwargs), window_tokens)
+
+from .base import register_tagger as _rt
+_rt("windowed_hash", _windowed_hash)

@@ -118,6 +118,8 @@ class HashEmbeddingTagger:
     O_BIAS = np.float32(1.0)
 
     def __init__(self, vocab: list[tuple[str, str]], o_vocab: list[str] | None = None):
+        self._vocab = list(vocab)          # kept for finetune (closed-form retrain)
+        self._o_vocab = list(o_vocab or [])
         tok_table: dict[int, np.ndarray] = {}
         xshape_counts: dict[int, np.ndarray] = {}
         cshape_counts: dict[int, np.ndarray] = {}
@@ -234,6 +236,60 @@ class HashEmbeddingTagger:
         return ents
 
 
+    # ------------------------- finetune / save / load -------------------------
+    # The reference's Model.FinetuneAndSave + artifact store contract
+    # (internal/core/model.go:41-47, bolt_unix.go:89-133, processor.go:802-902).
+    # "Training" here is closed-form vocabulary accumulation: token-level samples
+    # ({Tokens, Labels} parallel arrays, pkg/api/models.go:94-97) contribute
+    # their non-O labeled runs as new (surface, label) gazetteer entries, and the
+    # model is rebuilt deterministically — so finetuned actors stay bit-equal to
+    # a finetuned oracle.
+
+    def finetune(self, samples: list[tuple[list[str], list[str]]]) -> "HashEmbeddingTagger":
+        """samples: (tokens, labels) parallel arrays; adjacent same-label non-O
+        tokens form one surface. Returns a NEW tagger (old one unchanged)."""
+        new_vocab = list(self._vocab)
+        new_o = list(self._o_vocab)
+        for tokens, labels in samples:
+            if len(tokens) != len(labels):
+                raise ValueError("tokens/labels length mismatch")
+            run: list[str] = []
+            run_label: str | None = None
+            for tok, lab in list(zip(tokens, labels)) + [("", None)]:
+                if lab == run_label and lab not in (None, "O"):
+                    run.append(tok)
+                    continue
+                if run and run_label not in (None, "O"):
+                    new_vocab.append((" ".join(run), run_label))
+                run = [tok]
+                run_label = lab
+                if lab == "O":
+                    new_o.append(tok)
+        return HashEmbeddingTagger(new_vocab, new_o)
+
+    def save(self, save_dir: str) -> None:
+        import json
+        import os
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "model.json"), "w") as f:
+            json.dump({"vocab": self._vocab, "o_vocab": self._o_vocab,
+                       "format": "hash_embedding_v1"}, f)
+
+    @classmethod
+    def load(cls, save_dir: str) -> "HashEmbeddingTagger":
+        import json
+        import os
+        with open(os.path.join(save_dir, "model.json")) as f:
+            meta = json.load(f)
+        return cls([tuple(p) for p in meta["vocab"]], meta["o_vocab"])
+
+    def finetune_and_save(self, samples, save_dir: str) -> "HashEmbeddingTagger":
+        """The Model.FinetuneAndSave contract (model.go:44)."""
+        new = self.finetune(samples)
+        new.save(save_dir)
+        return new
+
+
 def build_default_tagger(alias_path: str | None = None) -> HashEmbeddingTagger:
     """Build the tagger from the deterministic fixture vocabulary (and optionally
     the alias dictionary parquet). Loaded once per actor in ``__init__`` — the
@@ -249,3 +305,6 @@ def build_default_tagger(alias_path: str | None = None) -> HashEmbeddingTagger:
 
 
 register_tagger("hash_embedding", lambda alias_path=None: build_default_tagger(alias_path))
+# saved-artifact loader — the "download from model bucket, load from dir" path
+# (processor.go:408-436); the dir is the artifact, shipped to actors by path
+register_tagger("hash_embedding_saved", lambda path: HashEmbeddingTagger.load(path))

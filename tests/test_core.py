@@ -189,3 +189,74 @@ def test_coalesce_no_merge_on_gap_or_label():
 def test_to_valid_utf8():
     assert to_valid_utf8(b"abc\xff\xfedef") == b"abcdef"
     assert to_valid_utf8("héllo".encode()) == "héllo".encode()
+
+
+def test_finetune_save_load_roundtrip(tmp_path):
+    """Model.FinetuneAndSave contract (model.go:41-47): token-level samples add
+    gazetteer entries; saved artifacts load to a bit-equal tagger."""
+    from ner_backend_ray.models import load_tagger
+    from ner_backend_ray.models.hash_tagger import HashEmbeddingTagger
+
+    base = HashEmbeddingTagger([("Alice Smith", "NAME")], ["hello", "from"])
+    text = b"hello from Zorblax Quux today"
+    assert base.predict(text) == []
+
+    tuned = base.finetune_and_save(
+        [(["hello", "from", "Zorblax", "Quux", "today"],
+          ["O", "O", "NAME", "NAME", "O"])], str(tmp_path / "m1"))
+    got = tuned.predict(text)
+    assert [(e.label, e.text) for e in got] == [("NAME", b"Zorblax"), ("NAME", b"Quux")]
+    # original untouched
+    assert base.predict(text) == []
+
+    loaded = load_tagger("hash_embedding_saved", path=str(tmp_path / "m1"))
+    assert [(e.start, e.end, e.label) for e in loaded.predict(text)] == \
+           [(e.start, e.end, e.label) for e in tuned.predict(text)]
+
+
+def test_dsl_search_backends_agree(tmp_path):
+    """Ray groupby search vs DuckDB to_sql search over the same mentions table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    import ray
+    import ray.data
+    from ner_backend_ray.ops.search import search_mentions, search_mentions_sql
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    t = pa.table({
+        "url": ["a", "a", "a", "b", "b", "c"],
+        "label": ["NAME", "NAME", "EMAIL", "NAME", "PHONENUMBER", "EMAIL"],
+        "text": ["Ann Lee", "Bob Ray", "x@y.com", "Ann Lee", "555-1234", "z@w.io"],
+        "start": [0, 10, 20, 0, 10, 0],
+        "end": [7, 17, 27, 7, 18, 6],
+    })
+    d = str(tmp_path / "mentions")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    queries = [
+        'COUNT(NAME) > 1',
+        'COUNT(NAME) = 1 AND COUNT(PHONENUMBER) > 0',
+        'EMAIL CONTAINS "y.com" OR NOT COUNT(NAME) > 0',
+        'NAME = "Ann Lee"',
+        'NAME > "B" AND NAME < "C"',
+    ]
+    ds = ray.data.read_parquet(d)
+    for q in queries:
+        ray_urls = sorted(r["url"] for r in search_mentions(ds, q).take_all())
+        sql_urls = search_mentions_sql(d, q)
+        assert ray_urls == sql_urls, q
+
+
+def test_windowed_tagger_matches_whole_doc():
+    """T2 contract: window → predict → offset-shift equals whole-doc prediction
+    when entities don't straddle window boundaries."""
+    from ner_backend_ray.models import load_tagger
+    whole = load_tagger("hash_embedding")
+    windowed = load_tagger("windowed_hash", window_tokens=6)
+    text = (b"Contact Aaron Abbott at aaron.abbott0@example.com now. "
+            b"Maria Garcia works at Acme Corp in Denver today.")
+    w = [(e.start, e.end, e.label) for e in whole.predict(text)]
+    v = [(e.start, e.end, e.label) for e in windowed.predict(text)]
+    assert w == v and len(w) > 0
