@@ -116,6 +116,54 @@ def bpe_token_count(text: str) -> int:
     return len(_BPE_RE.findall(text))
 
 
+# ---------------------- char-n-gram language profiles ----------------------
+# Seed text per language (public pangram/sample phrases); profiles are the
+# frequency-ranked trigram sets — the classic Cavnar-Trenkle out-of-place
+# method, deterministic and dependency-free.
+
+_LANG_SEEDS = {
+    "en": ("the quick brown fox jumps over the lazy dog and then it was the "
+           "best of times it was the worst of times this is a test of the "
+           "english language with many common words and the usual endings"),
+    "de": ("der schnelle braune fuchs springt über den faulen hund und es war "
+           "die beste zeit es war die schlechteste zeit das ist ein test der "
+           "deutschen sprache mit vielen üblichen wörtern und den endungen"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux et "
+           "c'était le meilleur des temps c'était le pire des temps ceci est "
+           "un test de la langue française avec beaucoup de mots usuels"),
+    "es": ("el rápido zorro marrón salta sobre el perro perezoso y era el "
+           "mejor de los tiempos era el peor de los tiempos esto es una "
+           "prueba de la lengua española con muchas palabras comunes"),
+}
+
+
+def _trigram_profile(text: str, top: int = 300) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    s = " " + " ".join(text.lower().split()) + " "
+    for i in range(len(s) - 2):
+        g = s[i:i + 3]
+        counts[g] = counts.get(g, 0) + 1
+    ranked = sorted(counts, key=lambda g: (-counts[g], g))[:top]
+    return {g: r for r, g in enumerate(ranked)}
+
+_LANG_PROFILES = {lang: _trigram_profile(seed) for lang, seed in _LANG_SEEDS.items()}
+
+
+def lang_id_ngram(text: str, max_chars: int = 1000) -> str:
+    """Char-trigram out-of-place distance against per-language profiles."""
+    prof = _trigram_profile(text[:max_chars], top=100)
+    if not prof:
+        return "und"
+    best_lang, best = "und", None
+    for lang in sorted(_LANG_PROFILES):
+        ref = _LANG_PROFILES[lang]
+        miss = len(ref)
+        dist = sum(abs(r - ref.get(g, miss)) for g, r in prof.items())
+        if best is None or dist < best:
+            best_lang, best = lang, dist
+    return best_lang
+
+
 def fingerprint(text: str, window: int = 8) -> int:
     """Winnowing-style document fingerprint: min blake2b hash over rolling token
     windows — stable under small edits outside the min window."""

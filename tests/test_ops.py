@@ -217,3 +217,23 @@ def test_ivf_topk_self_neighbor_and_recall(embs_ds):
         assert q in approx_sets[q]
     recall = np.mean([len(exact_sets[q] & approx_sets[q]) / 5 for q in (0, 1, 2)])
     assert recall >= 0.4  # nprobe=4 of 8 centroids ≈ half the space scanned
+
+
+def test_lang_id_ngram():
+    from ner_backend_ray.ops.textstats import lang_id_ngram
+    assert lang_id_ngram("the cat and the dog were in the house with the children") == "en"
+    assert lang_id_ngram("der hund und die katze waren mit den kindern im haus") == "de"
+    assert lang_id_ngram("le chien et le chat étaient dans la maison avec les enfants") == "fr"
+    assert lang_id_ngram("el perro y el gato estaban en la casa con los niños") == "es"
+    assert lang_id_ngram("") == "und"
+
+
+def test_minhash_sig_vectorized_properties():
+    from ner_backend_ray.ops.dedup import minhash_sig
+    a = minhash_sig("the quick brown fox jumps over the lazy dog " * 3)
+    b = minhash_sig("the quick brown fox jumps over the lazy dog " * 3)
+    assert (a == b).all() and a.dtype == np.uint32 and len(a) == 64
+    c = minhash_sig("completely different text about engines and databases")
+    sim_ab = float(np.mean(a == b))
+    sim_ac = float(np.mean(a == c))
+    assert sim_ab == 1.0 and sim_ac < 0.3
