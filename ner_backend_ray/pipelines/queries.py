@@ -469,6 +469,14 @@ def q_kg_edges(sf_dir: str):
     return kg_results(sf_dir)["edges"]
 
 
+def q_kg_search(sf_dir: str):
+    """Ad-hoc group-query DSL search (SURVEY.md §2.9 backend b) over the
+    flagship's mentions table: contact-rich pages."""
+    from ..ops.search import search_mentions
+    mentions = kg_results(sf_dir)["mentions"]
+    return search_mentions(mentions, "COUNT(NAME) > 2 AND COUNT(EMAIL) > 0")
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -503,6 +511,7 @@ QUERIES = {
     "kg_groups": q_kg_groups,
     "kg_nodes": q_kg_nodes,
     "kg_edges": q_kg_edges,
+    "kg_search": q_kg_search,
 }
 
 _SPARK_RUNS = r"\bspark\b( \bspark\b)*"

@@ -260,3 +260,4 @@ def test_windowed_tagger_matches_whole_doc():
     w = [(e.start, e.end, e.label) for e in whole.predict(text)]
     v = [(e.start, e.end, e.label) for e in windowed.predict(text)]
     assert w == v and len(w) > 0
+
