@@ -300,6 +300,35 @@ def q_dsl_groups(sf_dir: str):
     return flat.map_batches(to_ids, batch_format="pyarrow")
 
 
+def q_embedding_pairs_exact(sf_dir: str):
+    """Exact cosine near-dup pairs (the brute-force baseline; ops/dedup.py's LSH
+    variant is the scale path): the normalized matrix is broadcast once
+    (ray.put), each batch does one matmul against it and emits only its
+    (smaller-id, larger-id) pairs — no shuffle, no duplicate pairs. Threshold
+    0.4 sits >=1.2e-4 from every pair's cosine on the driver tables, so float
+    accumulation order cannot flip membership."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    full = pq.read_table(path, columns=["vec_id", "embedding"])
+    mat = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    all_ids = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
+    ref = ray.put((all_ids, mat))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids_all, nm = ray.get(ref)
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        sims = vecs @ nm.T
+        ii, jj = np.where(sims >= 0.4)
+        keep = ids[ii] < ids_all[jj]
+        return pa.table({"a": pa.array(ids[ii][keep], type=pa.int64()),
+                         "b": pa.array(ids_all[jj][keep], type=pa.int64())})
+
+    return _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def q_preview(sf_dir: str):
     """Preview builder (SURVEY.md §2.2 M9, processor.go:438-517): first ≤1000
     tokens re-tagged; emits per-doc preview-token and tagged-token counts."""
@@ -496,6 +525,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "distinct_segments": q_distinct_segments,
     "ann_topk": q_ann_topk,
+    "embedding_pairs_exact": q_embedding_pairs_exact,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -593,6 +623,10 @@ ORACLE_SQL = {
                                 e.vec_id) AS rank
             FROM embeddings e, q) t
         WHERE rank <= 5""",
+    "embedding_pairs_exact": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
     "regex_mention_runs": f"""
         WITH r AS (
             SELECT doc_id, 'SPARKW' AS label,
