@@ -43,6 +43,50 @@ class CRF:
             seq[t - 1] = int(bps[t][seq[t]])
         return seq
 
+    def viterbi_decode_batch(self, emissions_list: list[np.ndarray]) -> list[list[int]]:
+        """Batched decode, bit-identical per sequence to ``viterbi_decode``: the
+        per-timestep numpy kernels amortize over the batch (the per-doc decode is
+        dominated by small-array call overhead). Sequences shorter than the batch
+        max are frozen once exhausted (masked update)."""
+        if not emissions_list:
+            return []
+        n = self.num_tags
+        lens = np.array([e.shape[0] for e in emissions_list], dtype=np.int64)
+        bsz = len(emissions_list)
+        lmax = int(lens.max())
+        if lmax == 0:
+            return [[] for _ in emissions_list]
+        em = np.zeros((bsz, lmax, n), dtype=np.float32)
+        for i, e in enumerate(emissions_list):
+            if e.shape[0]:
+                em[i, :e.shape[0]] = np.asarray(e, dtype=np.float32)
+
+        dp = em[:, 0, :] + self.start_probs[None, :]
+        bps = np.empty((bsz, lmax, n), dtype=np.int64)
+        cols = np.arange(n)
+        for t in range(1, lmax):
+            scores = dp[:, :, None] + self.transitions[None, :, :]   # (B, prev, curr)
+            best_prev = scores.argmax(axis=1)                        # first max, as Go
+            new_dp = np.take_along_axis(scores, best_prev[:, None, :],
+                                        axis=1)[:, 0, :] + em[:, t, :]
+            active = lens > t
+            dp = np.where(active[:, None], new_dp, dp)
+            bps[:, t, :] = best_prev
+        dp = dp + self.end_probs[None, :]
+
+        out: list[list[int]] = []
+        for i in range(bsz):
+            L = int(lens[i])
+            if L == 0:
+                out.append([])
+                continue
+            seq = [0] * L
+            seq[-1] = int(dp[i].argmax())
+            for t in range(L - 1, 0, -1):
+                seq[t - 1] = int(bps[i, t, seq[t]])
+            out.append(seq)
+        return out
+
 
 def get_word_ids(word_offsets: list[tuple[int, int]], token_offsets: list[tuple[int, int]]) -> list[int]:
     """onnx.go:110-130 — assumes non-overlapping, sorted offsets."""

@@ -44,13 +44,17 @@ def run_inference_on_doc(
     tags: set[str] | None = None,
     custom_patterns: dict[str, re.Pattern] | None = None,
     group_filters: dict[str, Filter] | None = None,
+    precomputed_entities: list[Entity] | None = None,
 ) -> DocResult:
     """``tags=None`` admits every non-excluded model label (a report with the full
-    allowlist); custom patterns bypass the allowlist, as in the reference."""
+    allowlist); custom patterns bypass the allowlist, as in the reference.
+    ``precomputed_entities`` lets batch callers (stages/tag.py) run the model once
+    per batch via ``predict_batch`` — bit-identical to per-doc ``predict``."""
     result = DocResult()
     label_to_entities: dict[str, list[Entity]] = {}
 
-    chunk_entities = model.predict(text)
+    chunk_entities = (precomputed_entities if precomputed_entities is not None
+                      else model.predict(text))
     chunk_entities = filter_entities(text, chunk_entities)
 
     for entity in chunk_entities:

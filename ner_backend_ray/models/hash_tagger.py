@@ -183,50 +183,62 @@ class HashEmbeddingTagger:
         transitions = np.zeros((NUM_TAGS, NUM_TAGS), dtype=np.float32)
         np.fill_diagonal(transitions, 0.5)  # same-label continuation bonus
         self.crf = CRF(transitions, np.zeros(NUM_TAGS, np.float32), np.zeros(NUM_TAGS, np.float32))
+        # word → (relative subtoken pieces, emission block). Emissions are a pure
+        # function of the word bytes, and real corpora repeat words heavily, so
+        # this cache removes the per-occurrence hash/shape/piece work entirely.
+        self._word_cache: dict[bytes, tuple[list[tuple[int, int]], np.ndarray]] = {}
+        self._word_cache_cap = 262_144
 
-    def _emissions(self, cleaned: bytes, sub_offsets: list[tuple[int, int]],
-                   word_of_sub: list[int], word_spans: list[tuple[int, int]]) -> np.ndarray:
-        em = np.zeros((len(sub_offsets), NUM_TAGS), dtype=np.float32)
+    def _word_info(self, word: bytes) -> tuple[list[tuple[int, int]], np.ndarray]:
+        """Cached (relative subtoken pieces, emission block) for one word —
+        exactly the per-subtoken emissions _emissions computes, hoisted to
+        once-per-distinct-word."""
+        info = self._word_cache.get(word)
+        if info is not None:
+            return info
+        rel = _subtokens(word, 0)
+        em = np.zeros((len(rel), NUM_TAGS), dtype=np.float32)
         em[:, O_IDX] = self.O_BIAS
-        for i, (s, e) in enumerate(sub_offsets):
-            ws, we = word_spans[word_of_sub[i]]
-            word = cleaned[ws:we]
-            vec = self.tok_scores.get(_h(_TOK_SALT, word.lower()))
-            if vec is not None:
-                em[i] += vec
-            if not word.isalpha():
-                svec = self.xshape_scores.get(_h(_SHAPE_SALT, _shape(word)))
-                if svec is not None:
-                    em[i] += svec
-                cvec = self.cshape_scores.get(_h(_CSHAPE_SALT, _collapse_shape(word)))
-                if cvec is not None:
-                    em[i] += cvec
-            piece = cleaned[s:e]
+        vec = self.tok_scores.get(_h(_TOK_SALT, word.lower()))
+        if vec is not None:
+            em += vec
+        if not word.isalpha():
+            svec = self.xshape_scores.get(_h(_SHAPE_SALT, _shape(word)))
+            if svec is not None:
+                em += svec
+            cvec = self.cshape_scores.get(_h(_CSHAPE_SALT, _collapse_shape(word)))
+            if cvec is not None:
+                em += cvec
+        for i, (s, e) in enumerate(rel):
+            piece = word[s:e]
             if piece != word:
                 pvec = self.tok_scores.get(_h(_TOK_SALT, piece.lower()))
                 if pvec is not None:
                     em[i] += 0.5 * pvec
-        return em
+        if len(self._word_cache) < self._word_cache_cap:
+            self._word_cache[word] = (rel, em)
+        return rel, em
 
-    def predict(self, text: bytes) -> list[Entity]:
+    def _doc_features(self, text: bytes):
+        """(original_spans, cleaned_spans, sub_offsets, emissions) for one doc,
+        via the per-word cache."""
         cleaned, original_spans, cleaned_spans = clean_text_with_spans(text)
         if not cleaned_spans:
-            return []
-
+            return original_spans, cleaned_spans, [], None
         sub_offsets: list[tuple[int, int]] = []
-        word_of_sub: list[int] = []
-        for wid, (s, e) in enumerate(cleaned_spans):
-            for piece in _subtokens(cleaned[s:e], s):
-                sub_offsets.append(piece)
-                word_of_sub.append(wid)
+        blocks: list[np.ndarray] = []
+        for (s, e) in cleaned_spans:
+            rel, em_block = self._word_info(cleaned[s:e])
+            sub_offsets.extend((s + rs, s + re_) for rs, re_ in rel)
+            blocks.append(em_block)
+        em = blocks[0] if len(blocks) == 1 else np.concatenate(blocks, axis=0)
+        return original_spans, cleaned_spans, sub_offsets, em
 
-        em = self._emissions(cleaned, sub_offsets, word_of_sub, cleaned_spans)
-        tag_idx = self.crf.viterbi_decode(em)
+    def _decode_to_entities(self, text: bytes, original_spans, cleaned_spans,
+                            sub_offsets, tag_idx: list[int]) -> list[Entity]:
         sub_tags = [IDX2TAG[i] for i in tag_idx]
-
         word_ids = get_word_ids(cleaned_spans, sub_offsets)
         word_tags = aggregate_predictions(sub_tags, word_ids, len(cleaned_spans))
-
         ents: list[Entity] = []
         for wid, tag in enumerate(word_tags):
             if tag == "O":
@@ -234,6 +246,34 @@ class HashEmbeddingTagger:
             s, e = original_spans[wid]
             ents.append(create_entity(tag, text, s, e))
         return ents
+
+    def predict(self, text: bytes) -> list[Entity]:
+        original_spans, cleaned_spans, sub_offsets, em = self._doc_features(text)
+        if em is None:
+            return []
+        tag_idx = self.crf.viterbi_decode(em)
+        return self._decode_to_entities(text, original_spans, cleaned_spans,
+                                        sub_offsets, tag_idx)
+
+    def predict_batch(self, texts: list[bytes]) -> list[list[Entity]]:
+        """Batched prediction: per-doc feature build (word-cached) + one batched
+        CRF decode — bit-identical to [predict(t) for t in texts]."""
+        feats = [self._doc_features(t) for t in texts]
+        idx = [i for i, f in enumerate(feats) if f[3] is not None]
+        # sort by sequence length and decode in like-length groups: the batch
+        # decode pads to the group max, so mixing a long doc into a batch of
+        # short ones would waste (Lmax - L) timesteps for every member
+        idx.sort(key=lambda i: feats[i][3].shape[0])
+        out: list[list[Entity]] = [[] for _ in texts]
+        group = 64
+        for g in range(0, len(idx), group):
+            ids = idx[g:g + group]
+            decoded = self.crf.viterbi_decode_batch([feats[i][3] for i in ids])
+            for i, tag_idx in zip(ids, decoded):
+                original_spans, cleaned_spans, sub_offsets, _ = feats[i]
+                out[i] = self._decode_to_entities(texts[i], original_spans,
+                                                  cleaned_spans, sub_offsets, tag_idx)
+        return out
 
 
     # ------------------------- finetune / save / load -------------------------

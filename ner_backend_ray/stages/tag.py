@@ -98,8 +98,16 @@ class TagDocs:
         out_groups: list[list[str]] = []
         out_triples: list[list[dict]] = []
         link = self.aliases.link if self.aliases is not None else None
-        for text in texts:
-            res = run_inference_on_doc(text, self.model, self.tags, self.custom, self.groups)
+        # one model call per batch when the model supports it (batched CRF
+        # decode amortizes small-array kernel overhead); bit-identical to the
+        # per-doc path (tests/test_core.py::test_predict_batch_equals_predict)
+        predict_batch = getattr(self.model, "predict_batch", None)
+        batch_entities = predict_batch(texts) if predict_batch is not None else None
+        for di, text in enumerate(texts):
+            res = run_inference_on_doc(
+                text, self.model, self.tags, self.custom, self.groups,
+                precomputed_entities=None if batch_entities is None
+                else batch_entities[di])
             out_tokens.append(res.token_count)
             mentions = [
                 {"start": m.start, "end": m.end, "label": m.label,

@@ -261,3 +261,38 @@ def test_windowed_tagger_matches_whole_doc():
     v = [(e.start, e.end, e.label) for e in windowed.predict(text)]
     assert w == v and len(w) > 0
 
+
+
+def test_predict_batch_equals_predict():
+    """Batched CRF decode + word-cached emissions must be bit-identical to the
+    per-doc path, including on docs that repeat words and empty docs."""
+    import pyarrow.parquet as pq
+    import glob
+    from ner_backend_ray.models import load_tagger
+    from ner_backend_ray.fixtures.pages import generate_pages
+    fd = generate_pages(0.0002)
+    t = pq.read_table(sorted(glob.glob(fd + "/pages/part-*.parquet"))[0],
+                      columns=["html"])
+    texts = t["html"].to_pylist()[:60] + [b"", b"   ", b"spark spark spark"]
+    m = load_tagger("hash_embedding")
+    per_doc = [m.predict(x) for x in texts]
+    batched = m.predict_batch(texts)
+    assert per_doc == batched
+    # warm-cache second pass identical too
+    assert m.predict_batch(texts) == per_doc
+
+
+def test_viterbi_batch_equals_single():
+    import numpy as np
+    from ner_backend_ray.core.crf import CRF
+    rng = np.random.default_rng(11)
+    n = 5
+    T = rng.standard_normal((n, n)).astype(np.float32)
+    crf = CRF(T, rng.standard_normal(n).astype(np.float32),
+              rng.standard_normal(n).astype(np.float32))
+    for trial in range(50):
+        ems = [rng.standard_normal((int(rng.integers(0, 25)), n)).astype(np.float32)
+               for _ in range(int(rng.integers(1, 9)))]
+        if trial % 3 == 0:
+            ems = [np.round(e) for e in ems]   # frequent exact ties
+        assert crf.viterbi_decode_batch(ems) == [crf.viterbi_decode(e) for e in ems]
