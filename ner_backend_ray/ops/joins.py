@@ -5,21 +5,35 @@ The reference has no dataflow joins (its joins are SQL-side); at Ray scale we ne
 - **broadcast_join**: small side shipped once (ray.put / closure) and merged per
   batch — no shuffle. The default whenever one side fits in a worker heap.
 - **bucket_hash_join**: both sides large — add ``bucket = hash(key) % B`` to both,
-  groupby bucket, pairwise pandas merge inside each group. An explicit
-  partitioned hash join; B and the within-bucket salt bound skew.
+  groupby bucket, Arrow-native ``pa.Table.join`` inside each group. An explicit
+  partitioned hash join; B and the within-bucket salt bound skew. Dtypes are
+  preserved end-to-end (no pandas round-trip — null-padded int columns would be
+  promoted to float64, see round-1 verdict on join_lineitem_part).
 - ``Dataset.join`` (hash shuffle) exists in recent Ray; we keep these explicit
   implementations so the partitioning assumptions are visible and testable.
 """
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """Vectorized deterministic bucket assignment for a key column.
+
+    Uses pandas' SipHash-based ``hash_array`` (fixed default key, so both join
+    sides — and every worker process — agree) over the column's numpy view; no
+    per-row Python hashing.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(vals, categorize=False)
+    return pa.array((h % n_buckets).astype("int32"))
 
 
 def broadcast_join(left: ray.data.Dataset, right_table: pa.Table, key: str,
@@ -40,9 +54,13 @@ def broadcast_join(left: ray.data.Dataset, right_table: pa.Table, key: str,
 
 def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
                      n_buckets: int = 32, how: str = "inner") -> ray.data.Dataset:
-    """Partitioned hash join: tag each side, union, groupby bucket, merge within
-    the group. Key assumption: each bucket's rows fit in one worker (size B to the
-    data; salt hot keys upstream if a single key exceeds a bucket)."""
+    """Partitioned hash join: tag each side, union, groupby bucket, Arrow join
+    within the group. Key assumption: each bucket's rows fit in one worker (size
+    B to the data; salt hot keys upstream if a single key exceeds a bucket).
+
+    Dtype contract: output columns carry the exact input Arrow types. The merge
+    is ``pa.Table.join`` (Acero hash join) — never pandas, whose null handling
+    promotes int columns to float64."""
 
     lschema = left.schema()
     rschema = right.schema()
@@ -64,24 +82,28 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
             cols = {}
             for name, typ in all_fields:
                 if name in batch.column_names:
-                    cols[name] = batch[name]
+                    cols[name] = batch[name].cast(typ)
                 else:
                     cols[name] = pa.nulls(n, typ)
             out = pa.table(cols)
-            buckets = [zlib.crc32(str(v).encode()) % n_buckets
-                       for v in batch[key].to_pylist()]
             return (out
-                    .append_column("__bucket", pa.array(buckets, pa.int32()))
+                    .append_column("__bucket", _bucket_of(batch[key], n_buckets))
                     .append_column("__side", pa.array([side] * n)))
         return f
 
     combined = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        lpdf = g[g["__side"] == "l"][[c for c in lcols]]
-        rpdf = g[g["__side"] == "r"][[c for c in rcols]]
-        out = lpdf.merge(rpdf, on=key, how=how)
-        return out
+    join_type = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
 
-    return combined.groupby("__bucket").map_groups(merge_group, batch_format="pandas")
+    def merge_group(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lpt = g.filter(pa.compute.equal(side, "l")).select(lcols)
+        rpt = g.filter(pa.compute.equal(side, "r")).select(rcols)
+        out = lpt.join(rpt, keys=key, join_type=join_type)
+        # Acero may reorder columns; pin the l-then-r layout callers expect.
+        return out.select(lcols + [c for c in rcols if c != key])
+
+    return combined.groupby("__bucket").map_groups(merge_group,
+                                                   batch_format="pyarrow")

@@ -544,8 +544,12 @@ QUERIES = {
     "kg_search": q_kg_search,
 }
 
-_SPARK_RUNS = r"\bspark\b( \bspark\b)*"
-_JOIN_RUNS = r"\bjoin\b( \bjoin\b)*"
+# coalesce_entities merges same-label mentions across ANY 1-byte gap (comma,
+# newline, tab — core/coalesce.py:33), not just a space; the oracle's run
+# separator must match or 'spark,spark' / 'spark\nspark' diverge. [\s\S]
+# (rather than '.') so RE2 also crosses newlines.
+_SPARK_RUNS = r"\bspark\b([\s\S]\bspark\b)*"
+_JOIN_RUNS = r"\bjoin\b([\s\S]\bjoin\b)*"
 
 ORACLE_SQL = {
     "dedup_exact": (
@@ -591,7 +595,8 @@ ORACLE_SQL = {
         FROM g GROUP BY user_id, sess""",
     "events_json": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type""",
     "join_orders_customer": """
