@@ -106,7 +106,9 @@ def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
                                categorize=False)
         l = pd.util.hash_array(batch["lo"].to_numpy(zero_copy_only=False),
                                categorize=False)
-        s = int((h ^ l).astype(np.uint64).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+        # 32-bit partials: Ray sums these as int64 across blocks — a full
+        # 63-bit partial would overflow the int64 accumulator within 2 blocks.
+        s = int((h ^ l).astype(np.uint64).sum() & np.uint64(0xFFFFFFFF))
         return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
                          "s": pa.array([s], pa.int64())})
 
@@ -125,6 +127,20 @@ def connected_components(pairs: ray.data.Dataset, a_col: str = "a",
     if edges.count() == 0:
         return edges.map_batches(
             lambda b: b.rename_columns(["node", "root"]), batch_format="pyarrow")
+
+    # Compact to a bounded block count ONCE: the sort-based groupby creates
+    # (input blocks)² shuffle partitions at ~20 ms driver cost each (measured —
+    # see the perf playbook), so a fragmented pair set (map_groups emits one
+    # tiny block per bucket) would spend minutes on shuffle bookkeeping per
+    # round. The groupby keeps block count ≈ its input thereafter, so one
+    # compaction bounds every iteration.
+    try:
+        import ray
+        target = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        target = 16
+    if edges.num_blocks() > 2 * target:
+        edges = edges.repartition(target).materialize()
 
     prev = _checksum(edges)
     for _ in range(max_iters):

@@ -22,14 +22,14 @@ def tumbling_window(events: ray.data.Dataset, ts_col: str = "ts",
     (key, window_start, n_events, sum_value); window_start is epoch micros."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native combiner (pa.Table.group_by) — no pandas round-trip
         ts = batch[ts_col].cast(pa.int64())
         win = pc.multiply(pc.divide(ts, window_us), window_us)  # floor to window
         t = pa.table({key_col: batch[key_col], "window_start": win,
                       value_col: batch[value_col]})
-        df = t.to_pandas()
-        agg = (df.groupby([key_col, "window_start"], as_index=False)
-               .agg(pn=(value_col, "size"), psum=(value_col, "sum")))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = (t.group_by([key_col, "window_start"])
+               .aggregate([(value_col, "sum"), ([], "count_all")]))
+        return agg.rename_columns([key_col, "window_start", "psum", "pn"])
 
     from ray.data.aggregate import Sum
     return (events.map_batches(partial, batch_format="pyarrow")

@@ -34,6 +34,11 @@ from ..stages.extract import extract_text_batch
 from ..stages.tag import TagDocs, explode_groups, explode_mentions, explode_triples
 
 
+# Pair-count budget for driver-side union-find; above it, near-dup cluster
+# resolution runs as distributed connected components (ops/cc.py).
+_CC_BUDGET = 500_000
+
+
 def _auto_concurrency(cfg: KGConfig) -> int:
     if cfg.tag_concurrency is not None:
         return cfg.tag_concurrency
@@ -108,10 +113,13 @@ def _linked_triples(docs: ray.data.Dataset, cfg: KGConfig, alias_path: str) -> r
 
 
 def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
-    """MinHash-LSH clustering of unlinked surface keys. The verified-pair list and
-    the resulting root map cover only keys that actually cluster — a small set —
-    so it is collected to the driver and broadcast (ray.put), never joined."""
-    from ..stages.canonicalize import resolve_roots
+    """MinHash-LSH clustering of unlinked surface keys. The resulting root map
+    covers only keys that actually cluster and is broadcast (ray.put), never
+    joined. Pair resolution is budget-guarded: under _CC_BUDGET pairs the edge
+    list union-finds on the driver; above it (template-heavy corpora) it runs
+    distributed connected components and only the final star edges — the same
+    cardinality as the map itself — reach the driver."""
+    from ..ops.cc import resolve_roots_budgeted
 
     def band_rows(batch: pa.Table) -> pa.Table:
         keys, bands, hashes = [], [], []
@@ -124,14 +132,12 @@ def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
                          "band": pa.array(bands, pa.int32()),
                          "band_hash": pa.array(hashes, pa.int64())})
 
-    pair_rows = (nodes_pre
-                 .map_batches(band_rows, batch_format="pyarrow")
-                 .repartition(8)
-                 .groupby(["band", "band_hash"])
-                 .map_groups(bucket_pairs, batch_format="pyarrow")
-                 .take_all())
-    edges = [(r["entity_key"], r["root"]) for r in pair_rows]
-    return resolve_roots(edges)
+    pairs = (nodes_pre
+             .map_batches(band_rows, batch_format="pyarrow")
+             .repartition(8)
+             .groupby(["band", "band_hash"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    return resolve_roots_budgeted(pairs, "entity_key", "root", budget=_CC_BUDGET)
 
 
 def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dataset]:
@@ -277,14 +283,14 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
                          "band_hash": pa.array(hashes, pa.int64())})
 
     def root_map_from_docs() -> dict[str, str]:
-        from ..stages.canonicalize import resolve_roots
-        pair_rows = (docs
-                     .map_batches(band_rows_from_docs, batch_format="pyarrow")
-                     .repartition(8)
-                     .groupby(["band", "band_hash"])
-                     .map_groups(bucket_pairs, batch_format="pyarrow")
-                     .take_all())
-        return resolve_roots([(r["entity_key"], r["root"]) for r in pair_rows])
+        from ..ops.cc import resolve_roots_budgeted
+        pairs = (docs
+                 .map_batches(band_rows_from_docs, batch_format="pyarrow")
+                 .repartition(8)
+                 .groupby(["band", "band_hash"])
+                 .map_groups(bucket_pairs, batch_format="pyarrow"))
+        return resolve_roots_budgeted(pairs, "entity_key", "root",
+                                      budget=_CC_BUDGET)
 
     # The independent consumers of docs are small executions that don't saturate
     # the cluster individually — overlap them (driver threads). The tag stage

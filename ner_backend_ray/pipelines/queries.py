@@ -147,9 +147,8 @@ def q_events_json(sf_dir: str):
         ks = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
         k = pc.struct_field(ks, "k").cast(pa.int64())
         t = pa.table({"event_type": batch["event_type"], "k": k})
-        df = t.to_pandas().groupby("event_type", as_index=False).agg(
-            pk=("k", "sum"), pn=("k", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        agg = t.group_by(["event_type"]).aggregate([("k", "sum"), ([], "count_all")])
+        return agg.rename_columns(["event_type", "pk", "pn"])
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type")
@@ -191,10 +190,11 @@ def q_pricing_summary(sf_dir: str):
             "base_i": _cents(batch["l_extendedprice"]),
             "disc_i": _cents(disc),
         })
-        df = t.to_pandas().groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            pq=("qty_i", "sum"), pb=("base_i", "sum"), pdp=("disc_i", "sum"),
-            pn=("qty_i", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        agg = (t.group_by(["l_returnflag", "l_linestatus"])
+               .aggregate([("qty_i", "sum"), ("base_i", "sum"),
+                           ("disc_i", "sum"), ([], "count_all")]))
+        return agg.rename_columns(["l_returnflag", "l_linestatus",
+                                   "pq", "pb", "pdp", "pn"])
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
@@ -278,9 +278,8 @@ def q_regex_mention_runs(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"doc_id": batch["url"].cast(pa.int64()), "label": batch["label"]})
-        df = t.to_pandas().groupby(["doc_id", "label"], as_index=False).agg(
-            pn=("label", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        agg = t.group_by(["doc_id", "label"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["doc_id", "label", "pn"])
 
     return (flat.map_batches(partial, batch_format="pyarrow")
             .groupby(["doc_id", "label"])

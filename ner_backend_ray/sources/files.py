@@ -3,9 +3,9 @@
 The reference walks a bucket/directory (internal/storage/s3_connector.go:71-93,
 local_connector.go:47-73) and dispatches on file extension
 (internal/storage/parser.go:33-55): plaintext family → identity bytes
-(parser.go:98-122); ``.pdf`` → go-fitz text (parser.go:57-96), stubbed here (the
-PDF lib isn't in this container); anything else → *skipped*, counted but not
-failed (internal/core/processor.go:321-328).
+(parser.go:98-122); ``.pdf`` → text via the pure-Python extractor in
+sources/pdf.py (the reference uses go-fitz, parser.go:57-96); anything else →
+*skipped*, counted but not failed (internal/core/processor.go:321-328).
 
 Ray form: ``ray.data.read_binary_files(paths, include_paths=True)`` does the
 listing/reading (S1/S2/S8 subsumed), then one stateless ``map_batches`` parses and
@@ -27,11 +27,13 @@ PDF_EXTENSION = ".pdf"
 MAX_CHUNK_BYTES = 512 * 1024 * 1024  # parser.go:22-24
 
 
-def parse_pdf_stub(data: bytes) -> str:
-    """Extension point for the reference's parsePdf (parser.go:57-96). The PDF
-    text library is not available in this environment; plug a real extractor in
-    here at deploy time."""
-    raise NotImplementedError("PDF parsing requires an external text extractor")
+def parse_pdf(data: bytes) -> str:
+    """The reference's parsePdf slot (parser.go:57-96): pure-Python extractor
+    (sources/pdf.py) — pages joined with "\\n\\n", ValueError on unparseable
+    input (routed to status="failed" by the dispatcher, matching the
+    reference's Chunk{Error} path)."""
+    from .pdf import extract_pdf_text
+    return extract_pdf_text(data)
 
 
 def parse_files_batch(batch: pa.Table, path_col: str = "path",
@@ -55,12 +57,17 @@ def parse_files_batch(batch: pa.Table, path_col: str = "path",
                 texts.append(data.decode("utf-8", "ignore"))
                 statuses.append("succeeded")
         elif ext == PDF_EXTENSION:
-            try:
-                texts.append(parse_pdf_stub(data))
-                statuses.append("succeeded")
-            except NotImplementedError:
+            if len(data) > MAX_CHUNK_BYTES:
+                # parser.go:58-64 — a PDF over the cap cannot be parsed at all
                 texts.append("")
                 statuses.append("failed")
+            else:
+                try:
+                    texts.append(parse_pdf(data))
+                    statuses.append("succeeded")
+                except Exception:
+                    texts.append("")
+                    statuses.append("failed")
         else:
             texts.append("")
             statuses.append("skipped")

@@ -35,6 +35,8 @@ MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4  # k = bands * rows
 _JACCARD_THRESHOLD = 0.5
+_BUCKET_CAP = 256   # above: split by identical-signature groups, never drop
+_REP_CAP = 1024     # above: sorted-neighborhood window + metrics counter
 
 _SALTS = [f"mh{i}\x00".encode() for i in range(MINHASH_K)]
 
@@ -107,17 +109,45 @@ def finalize_node_group(group: pa.Table) -> pa.Table:
 
 def bucket_pairs(group: pa.Table) -> pa.Table:
     """map_groups over (band, band_hash): emit verified near-dup (key, root) edges,
-    root = lexicographic min of the verified pair."""
+    root = lexicographic min of the verified pair.
+
+    Mega buckets are SPLIT, not dropped (round-1 verdict fix): above
+    ``_BUCKET_CAP`` distinct keys, identical-signature groups link via O(n)
+    verified star edges (covers template-duplicate surfaces at any size) and
+    pairwise verification runs over one representative per distinct signature;
+    above ``_REP_CAP`` representatives a sorted-neighborhood window applies and
+    the bucket is counted in the metrics actor ("canon_lossy_buckets")."""
     keys = sorted(set(group["entity_key"].to_pylist()))
     out_key, out_root = [], []
     n = len(keys)
-    if n > 1 and n <= 256:  # degenerate mega-bucket guard; log-dropped upstream
+
+    def emit(a: str, b: str) -> None:
+        if jaccard(a[5:], b[5:]) >= _JACCARD_THRESHOLD:  # strip "surf:"
+            out_key.append(b)
+            out_root.append(a)
+
+    if 1 < n <= _BUCKET_CAP:
         for i in range(n):
             for j in range(i + 1, n):
-                a, b = keys[i], keys[j]
-                if jaccard(a[5:], b[5:]) >= _JACCARD_THRESHOLD:  # strip "surf:"
-                    out_key.append(b)
-                    out_root.append(a)
+                emit(keys[i], keys[j])
+    elif n > _BUCKET_CAP:
+        by_sig: dict[bytes, list[str]] = {}
+        for k in keys:
+            by_sig.setdefault(minhash_signature(k[5:]).tobytes(), []).append(k)
+        reps = sorted(ids[0] for ids in by_sig.values())  # keys pre-sorted
+        for ids in by_sig.values():
+            for k in ids[1:]:
+                emit(ids[0], k)
+        if len(reps) <= _REP_CAP:
+            for i in range(len(reps)):
+                for j in range(i + 1, len(reps)):
+                    emit(reps[i], reps[j])
+        else:
+            from ..state.metrics import incr_metric
+            incr_metric("canon_lossy_buckets")
+            for w in range(1, 17):
+                for a, b in zip(reps[:-w], reps[w:]):
+                    emit(a, b)
     return pa.table({"entity_key": pa.array(out_key, pa.string()),
                      "root": pa.array(out_root, pa.string())})
 

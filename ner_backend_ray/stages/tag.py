@@ -97,7 +97,9 @@ class TagDocs:
         out_mentions: list[list[dict]] = []
         out_groups: list[list[str]] = []
         out_triples: list[list[dict]] = []
-        link = self.aliases.link if self.aliases is not None else None
+        # batch-scoped memoized linker: normalization + dict lookup run once
+        # per distinct (surface, label) in the batch, repeats are dict hits
+        link = self.aliases.batch_linker() if self.aliases is not None else None
         # one model call per batch when the model supports it (batched CRF
         # decode amortizes small-array kernel overhead); bit-identical to the
         # per-doc path (tests/test_core.py::test_predict_batch_equals_predict)

@@ -35,10 +35,20 @@ class _MetricsActor:
         self._counts.clear()
 
 
+_handle = None
+
+
 def get_metrics():
-    """Get-or-create the session's metrics actor (safe to call from workers)."""
-    return _MetricsActor.options(name=_ACTOR_NAME, get_if_exists=True,
-                                 max_restarts=1).remote()
+    """Get-or-create the session's metrics actor (safe to call from workers).
+
+    The handle is cached per process: a named non-detached actor is garbage
+    collected when its last handle drops, so a transient handle would lose
+    counts between calls."""
+    global _handle
+    if _handle is None:
+        _handle = _MetricsActor.options(name=_ACTOR_NAME, get_if_exists=True,
+                                        max_restarts=1).remote()
+    return _handle
 
 
 def incr_metric(key: str, n: int = 1) -> None:
