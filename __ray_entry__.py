@@ -4,10 +4,14 @@
 deterministic sf0.001 pages fixture and returns the triples Dataset. ``queries()``
 exposes one callable per implemented operator/pipeline from SURVEY.md §2 plus the
 training-data ops; ``oracle_sql()`` carries the DuckDB-equivalent SQL for every
-SQL-expressible entry (same column names both sides). Non-SQL-expressible entries
-(MinHash/SimHash/LSH/fingerprints and the KG pipeline over the synthesized pages
-table, which is not a registered driver view) are rows-only by design; their
-semantics are pinned by tests/ against the single-threaded reference oracle.
+checkable entry (same column names both sides). Approximate/near-dup queries are
+verified via exact SQL recomputation (brute-force Jaccard/Hamming/cosine, with a
+recursive-CTE connected-components oracle for cluster roots); kg_nodes/kg_edges
+via an export seam (the query writes its flat inputs + key map to
+/tmp/ner_ray_oracle and the oracle re-derives the aggregation in SQL). The six
+remaining rows-only entries (lsh_topk, fingerprints, kg_mentions/triples/groups,
+kg_search) are non-SQL-expressible; tests/ pin them against the single-threaded
+reference oracle.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here (or
 in the library) calls ray.init()/ray.shutdown().

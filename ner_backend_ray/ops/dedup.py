@@ -79,6 +79,20 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter) if inter else 0.0
 
 
+def char_ngram_set(text: str, n: int = 3) -> set[str]:
+    """CHARACTER n-grams of lower(text) — the exact twin of DuckDB's
+    ``substr(lower(text), i, n)`` over ``generate_series``, so a SQL oracle can
+    recompute it verbatim (identical to :func:`ngram_set` on ASCII text)."""
+    s = text.lower()
+    return {s[i:i + n] for i in range(max(len(s) - n + 1, 1))}
+
+
+def char_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = char_ngram_set(a, n), char_ngram_set(b, n)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+
 # ------------------------------ MinHash-LSH ------------------------------
 
 # Full-width 64-bit odd multipliers: with a < 2^32 the product gram*a never
@@ -201,6 +215,68 @@ def dedup_minhash_lsh(docs: ray.data.Dataset, id_col: str = "doc_id",
     return resolve_roots_budgeted(pairs, "child", "root", budget=cc_budget)
 
 
+def neardup_pairs_lsh_exact(docs: ray.data.Dataset, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            jaccard_threshold: float = 0.7, k: int = 64,
+                            bands: int = 16) -> ray.data.Dataset:
+    """EXACT-verified near-dup pairs with MinHash-LSH candidate blocking:
+    band rows carry the doc text into the bucket, where candidates are
+    verified by true character-n-gram Jaccard (:func:`char_ngram_jaccard`) —
+    the SlimPajama/BigCode-style pipeline shape. Unlike
+    :func:`dedup_minhash_lsh` (signature estimate, text never shuffles), this
+    op ships text to its band buckets; it is the verifiable variant a SQL
+    oracle can recompute. Identical texts link via O(n) star edges inside a
+    bucket, pairwise verification runs over one representative per distinct
+    text — connectivity-equivalent to all-pairs (identical texts have equal
+    Jaccard to any third document). Returned pairs may repeat across bands;
+    downstream union-find/CC is idempotent."""
+    rows_per_band = k // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes, texts = [], [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = minhash_sig(t, k)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                ids.append(i)
+                band_ids.append(b)
+                band_hashes.append(zlib.crc32(chunk.tobytes()))
+                texts.append(t)
+        return pa.table({id_col: pa.array(ids),
+                         "band": pa.array(band_ids, pa.int32()),
+                         "band_hash": pa.array(band_hashes, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        items = sorted({(i, t) for i, t in zip(group[id_col].to_pylist(),
+                                               group["text"].to_pylist())})
+        out_a, out_b = [], []
+        by_text: dict[str, list[int]] = {}
+        for i, t in items:
+            by_text.setdefault(t, []).append(i)
+        reps = sorted((ids[0], t) for t, ids in by_text.items())
+        for t, ids in by_text.items():
+            for i in ids[1:]:
+                out_a.append(min(ids[0], i))
+                out_b.append(max(ids[0], i))
+        shingles = [char_ngram_set(t, n) for _, t in reps]
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                inter = len(shingles[i] & shingles[j])
+                if not inter:
+                    continue
+                jac = inter / (len(shingles[i]) + len(shingles[j]) - inter)
+                if jac >= jaccard_threshold:
+                    out_a.append(min(reps[i][0], reps[j][0]))
+                    out_b.append(max(reps[i][0], reps[j][0]))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    return (docs.map_batches(band_rows, batch_format="pyarrow")
+            .groupby(["band", "band_hash"])
+            .map_groups(bucket_pairs, batch_format="pyarrow"))
+
+
 # -------------------------------- SimHash --------------------------------
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -302,20 +378,30 @@ def simhash_near_dups(docs: ray.data.Dataset, id_col: str = "doc_id",
 
 def embedding_near_dups(embs: ray.data.Dataset, id_col: str = "vec_id",
                         vec_col: str = "embedding", n_planes: int = 12,
-                        cos_threshold: float = 0.95, seed: int = 7) -> list[tuple[int, int]]:
+                        cos_threshold: float = 0.95, seed: int = 7,
+                        n_tables: int = 1) -> list[tuple[int, int]]:
     """Cosine near-dup pairs via random-hyperplane LSH buckets + exact verify.
-    The hyperplanes are broadcast; only (bucket, id, vec) rows shuffle."""
-    rng = np.random.default_rng(seed)
+    The hyperplanes are broadcast; only (table, bucket, id, vec) rows shuffle.
+    ``n_tables`` independent hash tables drive recall toward 1 for tight
+    thresholds (miss probability ≈ (1 - (1 - θ/π)^planes)^tables): at
+    cos≥0.95 (θ≈18°), 8 planes × 16 tables leaves ~1e-4 per pair."""
 
     def bucket(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         dim = vecs.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-        signs = (vecs @ planes) > 0
-        keys = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
-        return pa.table({id_col: batch[id_col],
-                         "bucket": pa.array(keys),
-                         vec_col: batch[vec_col]})
+        n = len(vecs)
+        tables, keys_out = [], []
+        for t in range(n_tables):
+            planes = np.random.default_rng(seed + t).standard_normal((dim, n_planes))
+            signs = (vecs @ planes) > 0
+            keys_out.append(signs.dot(1 << np.arange(n_planes)).astype(np.int64))
+            tables.append(np.full(n, t, dtype=np.int32))
+        rep = pa.chunked_array([batch[id_col].combine_chunks()] * n_tables)
+        vec_rep = pa.chunked_array([batch[vec_col].combine_chunks()] * n_tables)
+        return pa.table({id_col: rep,
+                         "table": pa.array(np.concatenate(tables)),
+                         "bucket": pa.array(np.concatenate(keys_out)),
+                         vec_col: vec_rep})
 
     def verify(group: pa.Table) -> pa.Table:
         ids = np.array(group[id_col].to_pylist(), dtype=np.int64)
@@ -341,7 +427,7 @@ def embedding_near_dups(embs: ray.data.Dataset, id_col: str = "vec_id",
                          "b": pa.array(b_out, pa.int64())})
 
     rows = (embs.map_batches(bucket, batch_format="pyarrow")
-            .groupby("bucket")
+            .groupby(["table", "bucket"])
             .map_groups(verify, batch_format="pyarrow")
             .take_all())
     return sorted({(r["a"], r["b"]) for r in rows})

@@ -331,10 +331,14 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
 
     # groupby's range-partitioned sort shuffle leaves output globally key-ordered,
     # so no separate sort() pass (tests/test_pipeline_ray.py asserts this)
-    nodes = (nodes_pre
-             .map_batches(apply_roots_nodes, batch_format="pyarrow")
+    keyed = nodes_pre.map_batches(apply_roots_nodes, batch_format="pyarrow")
+    nodes = (keyed
              .groupby("canonical_id")
              .map_groups(_merge_node_group, batch_format="pyarrow"))
+    # entity_key → canonical_id mapping (one row per distinct key; triples'
+    # subj/obj keys are always mention keys, so this covers every key) — the
+    # export the driver oracle uses to recompute nodes/edges in SQL
+    key_map = keyed.select_columns(["entity_key", "canonical_id"])
 
     def partial_edge_counts(batch: pa.Table) -> pa.Table:
         """Combiner: canonical ids memoized over the batch's distinct keys (few),
@@ -386,7 +390,7 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
         edges = f_edges.result()
 
     return {"mentions": mentions, "groups": groups, "triples": triples,
-            "nodes": nodes, "edges": edges}
+            "nodes": nodes, "edges": edges, "key_map": key_map}
 
 
 def kg_tables_from_parquet(out_dir: str, cfg: KGConfig, fixture_dir: str,

@@ -8,8 +8,12 @@ the same key with matching column names; numeric aggregates use the fixed-point
 trick (``floor(x*100 + 0.5)`` int64 cents) on BOTH sides so float summation order
 can never flip a value hash.
 
-SQL-free entries (MinHash/SimHash/LSH/fingerprint/KG pipeline) are checked
-rows-only by the driver; their exact semantics are pinned by tests/ instead.
+Approximate operators are driver-checkable too: near-dup queries verify against
+brute-force SQL recomputation (list_intersect Jaccard, bit_count Hamming,
+cosine) with a recursive-CTE components oracle for cluster roots; kg_nodes /
+kg_edges use the export seam (see _export_for_oracle). Only lsh_topk,
+fingerprints, kg_mentions/triples/groups and kg_search remain rows-only —
+their semantics are pinned by tests/ instead.
 """
 
 from __future__ import annotations
@@ -389,26 +393,149 @@ def q_redacted_docs(sf_dir: str):
 # rows-only queries (non-SQL-expressible; semantics pinned by tests/)
 # --------------------------------------------------------------------------
 
+# Oracle-export seam: a few queries hand DuckDB a deterministic intermediate
+# (simhash values, language predictions, KG mention/triple/key-map tables) so
+# the SQL oracle can recompute the DISTRIBUTED part — the shuffle/aggregation
+# — brute-force from the same inputs. The export is tiny at driver-check
+# scale and rewritten on every call, so query and oracle always see the same
+# snapshot.
+_ORACLE_EXPORT_DIR = "/tmp/ner_ray_oracle"
+
+
+def _collect_table(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def _export_for_oracle(name: str, table: pa.Table) -> str:
+    os.makedirs(_ORACLE_EXPORT_DIR, exist_ok=True)
+    path = os.path.join(_ORACLE_EXPORT_DIR, f"{name}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
 def q_minhash_neardups(sf_dir: str):
-    roots = dedup_minhash_lsh(_tbl(sf_dir, "documents", ["doc_id", "text"]),
-                              jaccard_threshold=0.7)
+    """MinHash-LSH near-dup clusters with EXACT character-3-gram Jaccard
+    verification inside each band bucket (the SlimPajama-style candidates +
+    verify shape) → {doc_id → cluster-min root}. SQL-checkable: the oracle
+    recomputes the pair set brute-force (list_intersect Jaccard) and resolves
+    components with a recursive CTE. The signature-estimate variant
+    (ops/dedup.py dedup_minhash_lsh, text never shuffles) remains the
+    100 TB path; its clustering is pinned by tests."""
+    from ..ops.cc import resolve_roots_budgeted
+    from ..ops.dedup import neardup_pairs_lsh_exact
+
+    pairs = neardup_pairs_lsh_exact(_tbl(sf_dir, "documents", ["doc_id", "text"]),
+                                    jaccard_threshold=0.7)
+    roots = resolve_roots_budgeted(pairs, "a", "b")
     items = sorted(roots.items())
     return pa.table({"doc_id": pa.array([k for k, _ in items], pa.int64()),
                      "root_doc_id": pa.array([v for _, v in items], pa.int64())})
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram-Jaccard near-dup pairs — the brute-force baseline backing
+    the LSH variants (same role embedding_pairs_exact plays for the embedding
+    family): shingle sets are computed distributed, broadcast once (ray.put),
+    and each batch compares its docs against all larger ids. O(N²) by design;
+    the LSH queries are the scale path."""
+    from ..ops.dedup import char_ngram_set
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        grams = [sorted(char_ngram_set(t)) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "grams": pa.array(grams, pa.list_(pa.string()))})
+
+    sh = _collect_table(docs.map_batches(shingles, batch_format="pyarrow"))
+    all_sets = {i: frozenset(g) for i, g in zip(sh["doc_id"].to_pylist(),
+                                                sh["grams"].to_pylist())}
+    ref = ray.put(all_sets)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids_sorted = sorted(table)
+        out_a, out_b = [], []
+        for i in batch["doc_id"].to_pylist():
+            si = table[i]
+            for j in ids_sorted:
+                if j <= i:
+                    continue
+                sj = table[j]
+                inter = len(si & sj)
+                if inter and inter / (len(si) + len(sj) - inter) >= 0.7:
+                    out_a.append(i)
+                    out_b.append(j)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    return docs.map_batches(pairs, batch_format="pyarrow")
+
+
 def q_simhash_neardups(sf_dir: str):
-    pairs = simhash_near_dups(_tbl(sf_dir, "documents", ["doc_id", "text"]),
-                              max_hamming=3)
+    """SimHash near-dup pairs (4×16-bit block LSH, exact within Hamming<=3 by
+    pigeonhole). The per-doc simhash values are exported so the oracle can
+    brute-force the SAME pair predicate in SQL (bit_count(xor(...)) <= 3) —
+    verifying the blocking + pair generation end to end."""
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    from ..ops.dedup import simhash64
+
+    def h(batch: pa.Table) -> pa.Table:
+        vals = np.array([simhash64(t) for t in batch["text"].to_pylist()],
+                        dtype=np.uint64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array(vals.view(np.int64))})
+
+    _export_for_oracle("simhash", _collect_table(
+        ds.map_batches(h, batch_format="pyarrow")))
+    pairs = simhash_near_dups(ds, max_hamming=3)
     return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
                      "b": pa.array([p[1] for p in pairs], pa.int64())})
 
 
 def q_embedding_neardups(sf_dir: str):
+    """Multi-table hyperplane-LSH cosine near-dups at 0.95 (8 planes × 16
+    tables → per-pair miss ≈ 1e-4 at θ≈18°), oracle = brute-force SQL cosine.
+    The driver fixture has no pairs this tight — the check pins the empty
+    result; non-empty recall is pinned by tests (synthetic clusters)."""
     pairs = embedding_near_dups(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                                cos_threshold=0.95)
+                                cos_threshold=0.95, n_planes=8, n_tables=16)
     return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
                      "b": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+def q_lang_pred_confusion(sf_dir: str):
+    """Language-ID confusion counts: per-doc predictions (Cavnar-Trenkle
+    trigram profiles) exported for the oracle, confusion matrix aggregated
+    distributed (Ray groupby) vs SQL join+groupby. The fixture's lang column
+    is a random label over keyword text, so the value here is verifying the
+    distributed aggregation; real-language accuracy is pinned by unit tests
+    on held-out sentences."""
+    from ..ops.textstats import lang_id_ngram
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        preds = [lang_id_ngram(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "pred_lang": pa.array(preds, pa.string())})
+
+    p = ds.map_batches(pred, batch_format="pyarrow").materialize()
+    _export_for_oracle("lang_pred", _collect_table(
+        p.map_batches(lambda b: b.select(["doc_id", "pred_lang"]),
+                      batch_format="pyarrow")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (pa.table({"lang": batch["lang"], "pred_lang": batch["pred_lang"]})
+               .group_by(["lang", "pred_lang"]).aggregate([([], "count_all")]))
+        return agg.rename_columns(["lang", "pred_lang", "pn"])
+
+    return (p.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("pn", alias_name="n_docs")))
 
 
 def q_lsh_topk(sf_dir: str):
@@ -422,8 +549,11 @@ def q_lsh_topk(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF ANN (scale path): deterministic k-means coarse quantizer + nprobe
-    candidate scoring. Approximate → rows-only check; recall pinned by tests."""
+    """IVF ANN: deterministic k-means coarse quantizer + partitioned candidate
+    scoring. The driver query probes ALL centroids (nprobe = n_centroids), so
+    the index build + partitioned search + top-k merge are EXACT and the
+    brute-force SQL oracle applies; production sets nprobe << n_centroids
+    (that recall/latency trade-off is pinned by tests instead)."""
     from ..ops.ann import ivf_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -432,7 +562,7 @@ def q_ivf_topk(sf_dir: str):
     queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
     embs = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(embs, queries, qt["vec_id"].to_pylist(), k=5,
-                    n_centroids=8, nprobe=4)
+                    n_centroids=8, nprobe=8)
 
 
 def q_fingerprints(sf_dir: str):
@@ -480,7 +610,18 @@ def q_kg_groups(sf_dir: str):
 
 
 def q_kg_nodes(sf_dir: str):
-    ds = kg_results(sf_dir)["nodes"]
+    """Canonicalized node table. SQL-checked via the export seam: the oracle
+    recomputes the full two-stage aggregation (per-entity_key label election →
+    per-canonical election weighted by mention_count, surface-set union) from
+    the exported flat mentions + key→canonical map, against Ray's
+    combiner+groupby machinery."""
+    tabs = kg_results(sf_dir)
+    _export_for_oracle("kg_mentions_flat", _collect_table(
+        tabs["mentions"].map_batches(
+            lambda b: b.select(["entity_key", "label", "text"]),
+            batch_format="pyarrow")))
+    _export_for_oracle("kg_key_map", _collect_table(tabs["key_map"]))
+    ds = tabs["nodes"]
 
     def flat(batch: pa.Table) -> pa.Table:
         # surface_forms list → joined string so every driver backend can hash it
@@ -494,6 +635,15 @@ def q_kg_nodes(sf_dir: str):
 
 
 def q_kg_edges(sf_dir: str):
+    """Edge weights. SQL-checked via the export seam: the oracle re-derives
+    (subj_id, pred, obj_id) → count from the exported flat triples + key map,
+    against Ray's bucketed combiner aggregation (pipelines/kg.py)."""
+    tabs = kg_results(sf_dir)
+    _export_for_oracle("kg_triples_flat", _collect_table(
+        tabs["triples"].map_batches(
+            lambda b: b.select(["subj_key", "pred", "obj_key"]),
+            batch_format="pyarrow")))
+    _export_for_oracle("kg_key_map", _collect_table(tabs["key_map"]))
     return kg_results(sf_dir)["edges"]
 
 
@@ -530,8 +680,10 @@ QUERIES = {
     "preview": q_preview,
     "redacted_docs": q_redacted_docs,
     "minhash_neardups": q_minhash_neardups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_neardups": q_simhash_neardups,
     "embedding_neardups": q_embedding_neardups,
+    "lang_pred_confusion": q_lang_pred_confusion,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "fingerprints": q_fingerprints,
@@ -666,4 +818,109 @@ ORACLE_SQL = {
         SELECT doc_id, 'sparky' AS group_name FROM c WHERE n_spark > 2
         UNION ALL
         SELECT doc_id, 'mixed' FROM c WHERE n_spark > 0 AND n_join > 1""",
+    # ---- exact near-dup family: brute-force SQL recomputation ----
+    "ngram_jaccard_pairs": """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, greatest(length(lower(text)) - 2, 1)),
+                     i -> substr(lower(text), i, 3))) AS g
+          FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7""",
+    "minhash_neardups": """
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, greatest(length(lower(text)) - 2, 1)),
+                     i -> substr(lower(text), i, 3))) AS g
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+        sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        cl AS (
+          SELECT a AS node, b AS other FROM sym
+          UNION
+          SELECT cl.node, s.b AS other FROM cl JOIN sym s ON cl.other = s.a
+          WHERE s.b <> cl.node)
+        SELECT node AS doc_id, root AS root_doc_id FROM (
+            SELECT node, least(min(other), node) AS root FROM cl GROUP BY node)
+        WHERE root < node""",
+    "simhash_neardups": """
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM read_parquet('/tmp/ner_ray_oracle/simhash.parquet') a
+        JOIN read_parquet('/tmp/ner_ray_oracle/simhash.parquet') b
+          ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "embedding_neardups": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
+    "lang_pred_confusion": """
+        SELECT d.lang, p.pred_lang, count(*) AS n_docs
+        FROM documents d
+        JOIN read_parquet('/tmp/ner_ray_oracle/lang_pred.parquet') p
+          USING (doc_id)
+        GROUP BY 1, 2""",
+    # full-probe IVF is exact → brute-force oracle (same as ann_topk)
+    "ivf_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id < 3)
+        SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC,
+                                e.vec_id) AS rank
+            FROM embeddings e, q) t
+        WHERE rank <= 5""",
+    # ---- KG family: oracle recomputes the distributed aggregation from the
+    # exported flat inputs (mentions/triples) + entity_key→canonical map ----
+    "kg_nodes": """
+        WITH m AS (SELECT entity_key, label, text AS surface
+                   FROM read_parquet('/tmp/ner_ray_oracle/kg_mentions_flat.parquet')),
+        km AS (SELECT * FROM read_parquet('/tmp/ner_ray_oracle/kg_key_map.parquet')),
+        klc AS (SELECT entity_key, label, count(*) AS c FROM m GROUP BY 1, 2),
+        kelect AS (
+          SELECT entity_key, label, mention_count FROM (
+            SELECT entity_key, label,
+                   sum(c) OVER (PARTITION BY entity_key) AS mention_count,
+                   row_number() OVER (PARTITION BY entity_key
+                                      ORDER BY c DESC, label) AS rn
+            FROM klc) WHERE rn = 1),
+        keys AS (SELECT km.canonical_id, ke.label, ke.mention_count
+                 FROM kelect ke JOIN km ON ke.entity_key = km.entity_key),
+        clc AS (SELECT canonical_id, label, sum(mention_count) AS c
+                FROM keys GROUP BY 1, 2),
+        celect AS (SELECT canonical_id, label FROM (
+            SELECT canonical_id, label,
+                   row_number() OVER (PARTITION BY canonical_id
+                                      ORDER BY c DESC, label) AS rn
+            FROM clc) WHERE rn = 1),
+        ccount AS (SELECT canonical_id,
+                          CAST(sum(mention_count) AS BIGINT) AS mention_count
+                   FROM keys GROUP BY 1),
+        csurf AS (SELECT km.canonical_id,
+                         string_agg(DISTINCT m.surface, ' | ' ORDER BY m.surface)
+                             AS surface_forms
+                  FROM m JOIN km ON m.entity_key = km.entity_key GROUP BY 1)
+        SELECT e.canonical_id, e.label, cc.mention_count, s.surface_forms
+        FROM celect e
+        JOIN ccount cc USING (canonical_id)
+        JOIN csurf s USING (canonical_id)""",
+    "kg_edges": """
+        WITH t AS (SELECT subj_key, pred, obj_key
+                   FROM read_parquet('/tmp/ner_ray_oracle/kg_triples_flat.parquet')),
+        km AS (SELECT * FROM read_parquet('/tmp/ner_ray_oracle/kg_key_map.parquet'))
+        SELECT k1.canonical_id AS subj_id, t.pred, k2.canonical_id AS obj_id,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM t
+        JOIN km k1 ON t.subj_key = k1.entity_key
+        JOIN km k2 ON t.obj_key = k2.entity_key
+        GROUP BY 1, 2, 3""",
 }

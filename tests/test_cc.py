@@ -168,3 +168,62 @@ def test_metrics_counter(ray_session):
         time.sleep(0.05)
     assert metrics_snapshot()["demo"] == 3
     reset_metrics()
+
+
+def test_neardup_pairs_lsh_exact_matches_bruteforce(ray_session):
+    """LSH-blocked exact-verify pairs == brute-force char-ngram Jaccard pairs
+    on the sf0.001 documents table (the predicate the DuckDB oracle uses)."""
+    import itertools
+    import pyarrow.parquet as pq
+    import ray.data
+    from ner_backend_ray.ops.dedup import char_ngram_set, neardup_pairs_lsh_exact
+
+    SF = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    sh = {i: char_ngram_set(x) for i, x in zip(ids, texts)}
+    want = set()
+    for i, j in itertools.combinations(sorted(ids), 2):
+        inter = len(sh[i] & sh[j])
+        if inter and inter / (len(sh[i]) + len(sh[j]) - inter) >= 0.7:
+            want.add((i, j))
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = {(r["a"], r["b"])
+           for r in neardup_pairs_lsh_exact(ds, jaccard_threshold=0.7).take_all()}
+    assert got == want
+    assert len(want) > 0  # fixture actually exercises the path
+
+
+def test_lang_id_ngram_held_out_sentences():
+    from ner_backend_ray.ops.textstats import lang_id_ngram
+    held_out = {
+        "en": "she walked through the garden and said that the weather was "
+              "very nice today",
+        "de": "er ging durch den garten und sagte dass das wetter heute "
+              "wirklich schön ist",
+        "fr": "elle marchait dans le jardin et disait que le temps était "
+              "très beau aujourd'hui",
+        "es": "ella caminaba por el jardín y decía que el tiempo estaba "
+              "muy bueno hoy",
+    }
+    for lang, sentence in held_out.items():
+        assert lang_id_ngram(sentence) == lang
+
+
+def test_embedding_neardups_multitable_recall(ray_session):
+    """16-table LSH finds a tight synthetic cluster exactly (cos >= 0.999)."""
+    import numpy as np
+    import ray.data
+    from ner_backend_ray.ops.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(32)
+    rows = [{"vec_id": i, "embedding": (base + rng.standard_normal(32) * 1e-4).tolist()}
+            for i in range(40)]
+    rows += [{"vec_id": 100 + i, "embedding": rng.standard_normal(32).tolist()}
+             for i in range(60)]
+    pairs = embedding_near_dups(ray.data.from_items(rows), cos_threshold=0.999,
+                                n_planes=8, n_tables=16)
+    assert len(pairs) == 40 * 39 // 2
+    assert all(a < 40 and b < 40 for a, b in pairs)

@@ -91,3 +91,24 @@ def test_hash_tagger_validator_interaction():
     assert all(m.label != "CREDIT_SCORE" for m in res.mentions)
     res2 = run_inference_on_doc(b"My credit score is 750 and rising.\n", model)
     assert ("CREDIT_SCORE", b"750") in {(m.label, m.text) for m in res2.mentions}
+
+
+def test_ensemble_majority_vote():
+    # ensemble.py:37-92 port: per-token majority; ties → first member's tag;
+    # one entity per non-O token (no merging)
+    from ner_backend_ray.models import load_tagger
+    members = [
+        {"model_type": "regex", "model_kwargs": {"patterns": {"A": rb"\bspark\b",
+                                                              "C": rb"\bjoin\b"}}},
+        {"model_type": "regex", "model_kwargs": {"patterns": {"A": rb"\bspark\b"}}},
+        {"model_type": "regex", "model_kwargs": {"patterns": {"B": rb"\bspark\b"}}},
+    ]
+    model = load_tagger("ensemble", members=members)
+    got = [(e.label, e.text, e.start, e.end) for e in
+           model.predict(b"run spark then join now")]
+    # spark: votes A,A,B -> A; join: votes C,O,O ... majority is O? C:1 O:2 -> O
+    assert got == [("A", b"spark", 4, 9)]
+    # tie: two members disagree -> first member's tag wins (Counter order)
+    model2 = load_tagger("ensemble", members=members[1:])
+    got2 = [(e.label, e.text) for e in model2.predict(b"spark")]
+    assert got2 == [("A", b"spark")]
