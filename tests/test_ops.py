@@ -179,23 +179,89 @@ def test_redact_exact():
                         "012-345-6789_PHONENUMBER": "[PHONENUMBER_1]"}
 
 
-def test_multimodal_stub_shapes(ray_session):
+def test_multimodal_real_codecs(ray_session):
+    import io
+    import wave
     import ray.data
-    from ner_backend_ray.ops.multimodal import DecodeImage, SampleFrames
-    rows = [{"id": i, "data": bytes([i]) * 1000} for i in range(6)]
+    from ner_backend_ray.ops.multimodal import (DecodeAudio, DecodeImage,
+                                                ResizeImage, SampleFrames,
+                                                decode_bmp, decode_image,
+                                                encode_ppm, split_ppm_stream)
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for h, w in [(12, 20), (7, 9), (32, 16)]]
+    rows = [{"id": i, "data": encode_ppm(img)} for i, img in enumerate(imgs)]
+
+    # real decode round-trip
+    for img, row in zip(imgs, rows):
+        assert np.array_equal(decode_image(row["data"]), img)
+
     ds = ray.data.from_items(rows)
-    out = ds.map_batches(DecodeImage, fn_constructor_kwargs={"embedding_dim": 8},
-                         batch_format="pyarrow", batch_size=2, concurrency=1).take_all()
-    assert len(out) == 6 and len(out[0]["embedding"]) == 8
-    # determinism: same content → same fake features
-    out2 = ds.map_batches(DecodeImage, fn_constructor_kwargs={"embedding_dim": 8},
-                          batch_format="pyarrow", batch_size=3, concurrency=1).take_all()
-    assert sorted((r["id"], r["width"]) for r in out) == sorted((r["id"], r["width"]) for r in out2)
-    frames = ds.map_batches(SampleFrames, batch_format="pyarrow", batch_size=2,
-                            concurrency=1).take_all()
-    assert len(frames) == 24
-    with pytest.raises(NotImplementedError):
-        DecodeImage(deterministic_fake=False)
+    out = {r["id"]: r for r in ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=2,
+        concurrency=1).take_all()}
+    for i, img in enumerate(imgs):
+        assert (out[i]["width"], out[i]["height"]) == (img.shape[1], img.shape[0])
+        assert out[i]["format"] == "ppm"
+        assert abs(out[i]["mean_lum"] - img.mean()) < 1e-9
+        assert len(out[i]["embedding"]) == 16
+
+    # BMP: build a 24-bit bottom-up BMP by hand and decode it
+    img = imgs[0]
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + b"\x00" * 24)
+    assert np.array_equal(decode_bmp(bytes(header + body)), img)
+
+    # resize: output is a valid PPM with the target shape
+    resized = ds.map_batches(ResizeImage, fn_constructor_kwargs={"out_w": 8, "out_h": 6},
+                             batch_format="pyarrow", batch_size=2,
+                             concurrency=1).take_all()
+    for r in resized:
+        assert decode_image(r["data"]).shape == (6, 8, 3)
+
+    # audio: stdlib-wave PCM → real features
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        t = np.arange(8000)
+        tone = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+        wf.writeframes(tone.tobytes())
+    audio = ray.data.from_items([{"id": 0, "data": buf.getvalue()}]).map_batches(
+        DecodeAudio, batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert audio["sample_rate"] == 8000 and audio["n_channels"] == 1
+    assert abs(audio["duration_sec"] - 1.0) < 1e-9
+    assert abs(audio["rms"] - 20000 / np.sqrt(2)) < 200
+    assert abs(audio["spectral_centroid"] - 440) < 10
+
+    # video: concatenated-PPM stream → evenly spaced real frames
+    stream = b"".join(encode_ppm(im) for im in imgs * 3)  # 9 frames
+    assert len(split_ppm_stream(stream)) == 9
+    frames = ray.data.from_items([{"id": 7, "data": stream}]).map_batches(
+        SampleFrames, fn_constructor_kwargs={"n_frames": 4},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+    assert all(decode_image(f["frame"]).ndim == 3 for f in frames)
+
+    # unknown container: error marker by default, deterministic fake on opt-in
+    junk = ray.data.from_items([{"id": 1, "data": b"\xff\xd8 not-a-real-jpeg"}])
+    err = junk.map_batches(DecodeImage, batch_format="pyarrow",
+                           concurrency=1).take_all()[0]
+    assert err["format"] == "error"
+    fake = junk.map_batches(DecodeImage, fn_constructor_kwargs={"allow_fake": True},
+                            batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert fake["format"] == "fake" and fake["width"] > 0
 
 
 def test_ivf_topk_self_neighbor_and_recall(embs_ds):
