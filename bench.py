@@ -116,12 +116,15 @@ def run_scaling() -> dict:
     from ner_backend_ray.fixtures.pages import pages_fixture_dir
     pages_fixture_dir(SCALING_SF)  # pre-generate so neither run pays it
 
-    walls: dict[int, float] = {}
+    walls: dict[int, float] = {8: float("inf"), 32: float("inf")}
     counts: dict = {}
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
-    for cpus in (8, 32):
-        best = float("inf")
-        for _ in range(repeats):  # min-of-N: the sandbox VM is noisy (±30%)
+    # INTERLEAVE the legs (8,32,8,32,...): the sandbox VM drifts ±30% over
+    # tens of minutes, so running all 8-CPU legs before all 32-CPU legs would
+    # bias the ratio by whatever direction the machine drifted. min-of-N per
+    # leg on alternating runs cancels the drift.
+    for _ in range(repeats):
+        for cpus in (8, 32):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--kg-only",
                  "--cpus", str(cpus), "--kg-sf", str(SCALING_SF)],
@@ -129,9 +132,8 @@ def run_scaling() -> dict:
                     os.path.abspath(__file__)))
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             rec = json.loads(line)
-            best = min(best, rec["queries"]["kg_pipeline"])
+            walls[cpus] = min(walls[cpus], rec["queries"]["kg_pipeline"])
             counts = rec.get("kg_counts", counts)
-        walls[cpus] = best
     t8, t32 = walls[8], walls[32]
     eff = t8 / (4.0 * t32)
     docs = counts.get("docs", 0)

@@ -188,6 +188,8 @@ class HashEmbeddingTagger:
         # this cache removes the per-occurrence hash/shape/piece work entirely.
         self._word_cache: dict[bytes, tuple[list[tuple[int, int]], np.ndarray]] = {}
         self._word_cache_cap = 262_144
+        # perceptron-learned emission deltas (bucket → Δvec), persisted by save()
+        self._learned: dict[int, np.ndarray] = {}
 
     def _word_info(self, word: bytes) -> tuple[list[tuple[int, int]], np.ndarray]:
         """Cached (relative subtoken pieces, emission block) for one word —
@@ -307,13 +309,77 @@ class HashEmbeddingTagger:
                     new_o.append(tok)
         return HashEmbeddingTagger(new_vocab, new_o)
 
+    # -- perceptron training (the "actually learns from errors" depth the
+    # gazetteer accumulation lacks) ----------------------------------------
+
+    def _sample_word_tags(self, tokens: list[bytes]) -> list[str]:
+        """Decode a token sequence with the current weights → word-level tags
+        (the same subtoken → first-non-O aggregation predict() uses)."""
+        sub_offsets: list[tuple[int, int]] = []
+        blocks: list[np.ndarray] = []
+        spans: list[tuple[int, int]] = []
+        pos = 0
+        for tok in tokens:
+            rel, em = self._word_info(tok)
+            spans.append((pos, pos + len(tok)))
+            sub_offsets.extend((pos + rs, pos + re_) for rs, re_ in rel)
+            blocks.append(em)
+            pos += len(tok) + 1
+        em_all = blocks[0] if len(blocks) == 1 else np.concatenate(blocks, axis=0)
+        tag_idx = self.crf.viterbi_decode(em_all)
+        word_ids = get_word_ids(spans, sub_offsets)
+        return aggregate_predictions([IDX2TAG[i] for i in tag_idx], word_ids,
+                                     len(spans))
+
+    def finetune_perceptron(self, samples: list[tuple[list[str], list[str]]],
+                            epochs: int = 8, lr: float = 2.0) -> int:
+        """Structured-perceptron correction (Collins 2002, public algorithm):
+        decode each sample with the CURRENT weights; for every mispredicted
+        word, move its exact-token bucket toward the gold tag and away from
+        the predicted one. Deterministic (fixed iteration order, early stop at
+        zero errors). Returns the residual error count. Updates are recorded
+        in ``self._learned`` so save()/load() round-trips the trained state."""
+        for _ in range(epochs):
+            errors = 0
+            for tokens, labels in samples:
+                toks = [t.encode("utf-8") if isinstance(t, str) else t
+                        for t in tokens]
+                pred = self._sample_word_tags(toks)
+                for tok, gold, got in zip(toks, labels, pred):
+                    if gold == got:
+                        continue
+                    errors += 1
+                    bucket = _h(_TOK_SALT, tok.lower())
+                    vec = self.tok_scores.get(bucket)
+                    if vec is None:
+                        vec = self.tok_scores[bucket] = np.zeros(
+                            NUM_TAGS, dtype=np.float32)
+                    vec[TAG2IDX[gold]] += lr
+                    vec[TAG2IDX[got]] -= lr
+                    self._learned[bucket] = (
+                        self._learned.get(bucket, np.zeros(NUM_TAGS, np.float32))
+                        + self._one_hot(TAG2IDX[gold], lr)
+                        - self._one_hot(TAG2IDX[got], lr))
+                    self._word_cache.pop(tok, None)
+            if errors == 0:
+                break
+        return errors
+
+    @staticmethod
+    def _one_hot(idx: int, v: float) -> np.ndarray:
+        out = np.zeros(NUM_TAGS, dtype=np.float32)
+        out[idx] = v
+        return out
+
     def save(self, save_dir: str) -> None:
         import json
         import os
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "model.json"), "w") as f:
             json.dump({"vocab": self._vocab, "o_vocab": self._o_vocab,
-                       "format": "hash_embedding_v1"}, f)
+                       "learned": {str(b): v.tolist()
+                                   for b, v in sorted(self._learned.items())},
+                       "format": "hash_embedding_v2"}, f)
 
     @classmethod
     def load(cls, save_dir: str) -> "HashEmbeddingTagger":
@@ -321,11 +387,24 @@ class HashEmbeddingTagger:
         import os
         with open(os.path.join(save_dir, "model.json")) as f:
             meta = json.load(f)
-        return cls([tuple(p) for p in meta["vocab"]], meta["o_vocab"])
+        model = cls([tuple(p) for p in meta["vocab"]], meta["o_vocab"])
+        for b_str, delta in meta.get("learned", {}).items():
+            bucket = int(b_str)
+            d = np.asarray(delta, dtype=np.float32)
+            vec = model.tok_scores.get(bucket)
+            if vec is None:
+                vec = model.tok_scores[bucket] = np.zeros(NUM_TAGS, np.float32)
+            vec += d
+            model._learned[bucket] = d.copy()
+        return model
 
     def finetune_and_save(self, samples, save_dir: str) -> "HashEmbeddingTagger":
-        """The Model.FinetuneAndSave contract (model.go:44)."""
+        """The Model.FinetuneAndSave contract (model.go:44, processor.go:802-902):
+        gazetteer accumulation for coverage, then perceptron epochs to correct
+        residual errors on the samples (e.g. a token whose gazetteer argmax
+        collides with an existing label), then persist the artifact dir."""
         new = self.finetune(samples)
+        new.finetune_perceptron(samples)
         new.save(save_dir)
         return new
 

@@ -56,6 +56,24 @@ def _cluster_cpus() -> int:
         return 4
 
 
+
+def _compact_small(cpus: int | None = None) -> int:
+    """Block target for compacting SMALL derived row-sets (LSH band rows,
+    grouped partials) before a sort shuffle: tracks cluster width so reduce
+    parallelism grows with the cluster instead of pinning at this sandbox's
+    tuned constant, floored at the measured-good single-node value."""
+    c = cpus if cpus is not None else _cluster_cpus()
+    return max(8, c // 4)
+
+
+def _compact_wide(cpus: int | None = None) -> int:
+    """Block target for compacting combiner partials that are proportional to
+    distinct keys (node/edge partials): one block per core, floored at the
+    measured single-node value."""
+    c = cpus if cpus is not None else _cluster_cpus()
+    return max(32, c)
+
+
 def _read_blocks() -> int:
     """Read blocks = 3 × tag-actor-pool size: an exact multiple so the final task
     wave fills every actor (small tail), few enough blocks that the ~20 ms/block
@@ -134,7 +152,7 @@ def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
 
     pairs = (nodes_pre
              .map_batches(band_rows, batch_format="pyarrow")
-             .repartition(8)
+             .repartition(_compact_small())
              .groupby(["band", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pyarrow"))
     return resolve_roots_budgeted(pairs, "entity_key", "root", budget=_CC_BUDGET)
@@ -151,13 +169,13 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
     # would mean B² tiny shuffle objects (O(100k) at a few hundred blocks)
     nodes_pre = (mentions
                  .map_batches(partial_node_counts, batch_format="pyarrow")
-                 .repartition(32)
+                 .repartition(_compact_wide())
                  .groupby("entity_key")
                  .map_groups(finalize_node_group, batch_format="pyarrow"))
     # small (distinct entities) but scattered over as many tiny blocks as the
     # mention table had — compact before the downstream shuffles so their task
     # count tracks the data, not the upstream block count
-    nodes_pre = nodes_pre.repartition(8).materialize()
+    nodes_pre = nodes_pre.repartition(_compact_small()).materialize()
 
     root_map_ref = ray.put(build_root_map(nodes_pre))
 
@@ -213,7 +231,7 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
     from ray.data.aggregate import Sum
     edges = (triples
              .map_batches(partial_edge_counts, batch_format="pyarrow")
-             .repartition(32)  # compact partials → bounded sort-shuffle fan-out
+             .repartition(_compact_wide())  # compact partials → bounded sort-shuffle fan-out
              .groupby(["subj_id", "pred", "obj_id"])
              .aggregate(Sum("partial_weight", alias_name="weight")))
 
@@ -286,7 +304,7 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
         from ..ops.cc import resolve_roots_budgeted
         pairs = (docs
                  .map_batches(band_rows_from_docs, batch_format="pyarrow")
-                 .repartition(8)
+                 .repartition(_compact_small())
                  .groupby(["band", "band_hash"])
                  .map_groups(bucket_pairs, batch_format="pyarrow"))
         return resolve_roots_budgeted(pairs, "entity_key", "root",
@@ -315,7 +333,7 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
         f_nodes_pre = ex.submit(
             lambda: (mentions
                      .map_batches(partial_node_counts, batch_format="pyarrow")
-                     .repartition(8)
+                     .repartition(_compact_small())
                      .groupby("entity_key")
                      .map_groups(finalize_node_group, batch_format="pyarrow")
                      .materialize()))
@@ -378,7 +396,7 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
     # final sort is over the aggregated (small) edge list, not the triple stream
     edges = (triples
              .map_batches(partial_edge_counts, batch_format="pyarrow")
-             .repartition(8)   # compact partials → bounded sort-shuffle fan-out
+             .repartition(_compact_small())   # compact partials → bounded sort-shuffle fan-out
              .groupby("bucket")
              .map_groups(sum_bucket, batch_format="pyarrow")
              .sort(["subj_id", "pred", "obj_id"]))

@@ -112,3 +112,26 @@ def test_ensemble_majority_vote():
     model2 = load_tagger("ensemble", members=members[1:])
     got2 = [(e.label, e.text) for e in model2.predict(b"spark")]
     assert got2 == [("A", b"spark")]
+
+
+def test_finetune_perceptron_corrects_label_conflicts(tmp_path):
+    # a token the base vocab labels COMPANY; samples label it LOCATION —
+    # plain gazetteer accumulation ties/loses the argmax, the perceptron
+    # epochs (Collins 2002) must actually flip the prediction
+    from ner_backend_ray.models.hash_tagger import HashEmbeddingTagger
+
+    base = HashEmbeddingTagger([("mercury", "COMPANY"), ("mercury", "COMPANY")],
+                               ["the", "near"])
+    assert [(e.label, e.text) for e in base.predict(b"we saw mercury rise")] == \
+        [("COMPANY", b"mercury")]
+    samples = [(["we", "saw", "mercury", "rise"], ["O", "O", "LOCATION", "O"])]
+    tuned = base.finetune_and_save(samples, str(tmp_path / "m"))
+    assert [(e.label, e.text) for e in tuned.predict(b"we saw mercury rise")] == \
+        [("LOCATION", b"mercury")]
+    # the artifact round-trips the learned state, not just the vocab
+    loaded = HashEmbeddingTagger.load(str(tmp_path / "m"))
+    assert [(e.label, e.text) for e in loaded.predict(b"we saw mercury rise")] == \
+        [("LOCATION", b"mercury")]
+    # base model untouched
+    assert [(e.label, e.text) for e in base.predict(b"we saw mercury rise")] == \
+        [("COMPANY", b"mercury")]
