@@ -177,6 +177,72 @@ def q_join_lineitem_part(sf_dir: str):
     return bucket_hash_join(left, right, "l_partkey", n_buckets=32)
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped multi-way join: lineitem ⋈ orders (both large →
+    partitioned bucket hash join) with customer/supplier/nation/region as
+    broadcast lookups (ray.put once, read per batch), local-supplier predicate
+    (c_nationkey = s_nationkey), combiner partials before the final groupby.
+    The canonical join-composition pattern for the star-schema shape at scale:
+    ONE big-big shuffle, every small side broadcast."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    cust_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    supp_map = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()))
+    nation_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    region_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    region_name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    small_ref = ray.put((cust_map, supp_map, nation_name, region_of, region_name))
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    line = _tbl(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = bucket_hash_join(line, orders, "l_orderkey", n_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cust_m, supp_m, nat_name, reg_of, reg_name = ray.get(small_ref)
+        c_nat = np.array([cust_m[k] for k in batch["o_custkey"].to_pylist()])
+        s_nat = np.array([supp_m[k] for k in batch["l_suppkey"].to_pylist()])
+        keep = c_nat == s_nat  # Q5 local-supplier predicate
+        if not keep.any():
+            return pa.table({"r_name": pa.array([], pa.string()),
+                             "n_name": pa.array([], pa.string()),
+                             "prev": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        sub = batch.filter(pa.array(keep))
+        nk = c_nat[keep]
+        rev = _cents(pc.multiply(sub["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), sub["l_discount"])))
+        t = pa.table({
+            "r_name": pa.array([reg_name[reg_of[k]] for k in nk], pa.string()),
+            "n_name": pa.array([nat_name[k] for k in nk], pa.string()),
+            "rev_i": rev,
+        })
+        agg = t.group_by(["r_name", "n_name"]).aggregate(
+            [("rev_i", "sum"), ([], "count_all")])
+        return agg.rename_columns(["r_name", "n_name", "prev", "pn"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby(["r_name", "n_name"])
+           .aggregate(Sum("prev", alias_name="rev_i"),
+                      Sum("pn", alias_name="n_lineitems")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"], "n_name": batch["n_name"],
+            "revenue": pc.divide(batch["rev_i"].cast(pa.float64()),
+                                 pa.scalar(100.0)),
+            "n_lineitems": batch["n_lineitems"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate, combiner partials before the groupby
     (SURVEY.md §2.5 A1 pattern); fixed-point sums."""
@@ -670,6 +736,7 @@ QUERIES = {
     "events_json": q_events_json,
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_part": q_join_lineitem_part,
+    "regional_revenue": q_regional_revenue,
     "pricing_summary": q_pricing_summary,
     "topk_orders": q_topk_orders,
     "distinct_segments": q_distinct_segments,
@@ -756,6 +823,19 @@ ORACLE_SQL = {
     "join_lineitem_part": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name, p.p_retailprice
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+    "regional_revenue": """
+        SELECT r.r_name, n.n_name,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                        AS BIGINT)) / 100.0 AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+        GROUP BY 1, 2""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
