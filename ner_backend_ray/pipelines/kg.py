@@ -310,13 +310,24 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
         return resolve_roots_budgeted(pairs, "entity_key", "root",
                                       budget=_CC_BUDGET)
 
+    def node_partials_from_docs(batch: pa.Table) -> pa.Table:
+        """Fused explode+combiner: docs batch → distinct (entity_key, label,
+        surface, partial_count) rows. Fusing removes nodes_pre's dependency on
+        the materialized mentions table, taking ~seconds off the critical path
+        (the explode is vectorized either way; doing it twice is cheaper than
+        serializing the two chains)."""
+        return partial_node_counts(explode_mentions(batch))
+
     # The independent consumers of docs are small executions that don't saturate
     # the cluster individually — overlap them (driver threads). The tag stage
     # itself is NOT overlapped with anything: it saturates the CPUs and
-    # concurrent executions only contend (measured). Dependency chains:
-    #   docs → {mentions, triples, groups, root_map}
-    #   mentions → nodes_pre → nodes;   {triples, root_map} → edges
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    # concurrent executions only contend (measured). Dependency chains (all
+    # branches hang off the materialized docs — the mentions/triples
+    # materializations serve only the returned tables and are OFF the
+    # nodes/edges critical path):
+    #   docs → {mentions, triples, groups, root_map, nodes_pre}
+    #   nodes_pre + root_map → nodes;   docs + root_map → edges
+    with ThreadPoolExecutor(max_workers=7) as ex:
         f_mentions = ex.submit(
             lambda: _linked_mentions(docs, cfg, alias_path).materialize())
         f_triples = ex.submit(
@@ -325,87 +336,93 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
             lambda: docs.map_batches(explode_groups,
                                      batch_format="pyarrow").materialize())
         f_root_map = ex.submit(root_map_from_docs)
-        mentions = f_mentions.result()
         # the sort-based groupby creates (input blocks)² shuffle partitions, each
         # with ~20 ms of driver-side cost — so combiner partials are compacted to
-        # 8 blocks first (they are small: distinct keys per block, not mentions).
-        # At real scale this knob tracks partial volume, not a constant.
+        # a few blocks first (they are small: distinct keys per block, not
+        # mentions). At real scale this knob tracks partial volume (see
+        # _compact_small), not a constant.
         f_nodes_pre = ex.submit(
-            lambda: (mentions
-                     .map_batches(partial_node_counts, batch_format="pyarrow")
+            lambda: (docs
+                     .map_batches(node_partials_from_docs, batch_format="pyarrow")
                      .repartition(_compact_small())
                      .groupby("entity_key")
                      .map_groups(finalize_node_group, batch_format="pyarrow")
                      .materialize()))
-        triples = f_triples.result()
-        groups = f_groups.result()
         root_map_ref = ray.put(f_root_map.result())
         nodes_pre = f_nodes_pre.result()
 
-    def apply_roots_nodes(batch: pa.Table) -> pa.Table:
-        rm = ray.get(root_map_ref)
-        cids = [canonical_id(rm.get(k, k)) for k in batch["entity_key"].to_pylist()]
-        return batch.append_column("canonical_id", pa.array(cids, pa.string()))
+        def apply_roots_nodes(batch: pa.Table) -> pa.Table:
+            rm = ray.get(root_map_ref)
+            cids = [canonical_id(rm.get(k, k))
+                    for k in batch["entity_key"].to_pylist()]
+            return batch.append_column("canonical_id",
+                                       pa.array(cids, pa.string()))
 
-    # groupby's range-partitioned sort shuffle leaves output globally key-ordered,
-    # so no separate sort() pass (tests/test_pipeline_ray.py asserts this)
-    keyed = nodes_pre.map_batches(apply_roots_nodes, batch_format="pyarrow")
-    nodes = (keyed
-             .groupby("canonical_id")
-             .map_groups(_merge_node_group, batch_format="pyarrow"))
-    # entity_key → canonical_id mapping (one row per distinct key; triples'
-    # subj/obj keys are always mention keys, so this covers every key) — the
-    # export the driver oracle uses to recompute nodes/edges in SQL
-    key_map = keyed.select_columns(["entity_key", "canonical_id"])
+        # groupby's range-partitioned sort shuffle leaves output globally
+        # key-ordered, so no separate sort() pass
+        # (tests/test_pipeline_ray.py asserts this)
+        keyed = nodes_pre.map_batches(apply_roots_nodes, batch_format="pyarrow")
+        nodes_chain = (keyed
+                       .groupby("canonical_id")
+                       .map_groups(_merge_node_group, batch_format="pyarrow"))
+        # entity_key → canonical_id mapping (one row per distinct key; triples'
+        # subj/obj keys are always mention keys, so this covers every key) —
+        # the export the driver oracle uses to recompute nodes/edges in SQL
+        key_map = keyed.select_columns(["entity_key", "canonical_id"])
 
-    def partial_edge_counts(batch: pa.Table) -> pa.Table:
-        """Combiner: canonical ids memoized over the batch's distinct keys (few),
-        group-count via a vectorized Arrow kernel, and an int64 hash bucket as
-        the shuffle key — Ray's sort-based aggregate on multi-string keys is
-        ~10k rows/s/core (measured); sorting an int64 bucket and doing the real
-        aggregation with Arrow's C group_by inside each bucket is ~100× faster.
-        Only (bucket, ids, partial weight) rows reach the shuffle."""
-        import zlib
-        rm = ray.get(root_map_ref)
-        raw = _edge_key_partials(batch)
-        sk = raw["subj_key"].to_pylist()
-        ok = raw["obj_key"].to_pylist()
-        memo = {k: canonical_id(rm.get(k, k)) for k in set(sk) | set(ok)}
-        subj = [memo[k] for k in sk]
-        obj = [memo[k] for k in ok]
-        pred = raw["pred"].to_pylist()
-        buckets = [zlib.crc32(f"{s}\x1f{p}\x1f{o}".encode()) & 63
-                   for s, p, o in zip(subj, pred, obj)]
-        t = pa.table({
-            "bucket": pa.array(buckets, pa.int64()),
-            "subj_id": pa.array(subj, pa.string()),
-            "pred": raw["pred"],
-            "obj_id": pa.array(obj, pa.string()),
-            "partial_weight": raw["partial_weight"],
-        })
-        agg = t.group_by(["bucket", "subj_id", "pred", "obj_id"]).aggregate(
-            [("partial_weight", "sum")])
-        return agg.rename_columns(["bucket", "subj_id", "pred", "obj_id",
-                                   "partial_weight"])
+        def partial_edge_counts(batch: pa.Table) -> pa.Table:
+            """Fused explode+combiner straight off the docs dataset: canonical
+            ids memoized over the batch's distinct keys (few), group-count via
+            a vectorized Arrow kernel, and an int64 hash bucket as the shuffle
+            key — Ray's sort-based aggregate on multi-string keys is
+            ~10k rows/s/core (measured); sorting an int64 bucket and doing the
+            real aggregation with Arrow's C group_by inside each bucket is
+            ~100× faster. Only (bucket, ids, partial weight) rows shuffle."""
+            import zlib
+            rm = ray.get(root_map_ref)
+            raw = _edge_key_partials(explode_triples(batch))
+            sk = raw["subj_key"].to_pylist()
+            ok = raw["obj_key"].to_pylist()
+            memo = {k: canonical_id(rm.get(k, k)) for k in set(sk) | set(ok)}
+            subj = [memo[k] for k in sk]
+            obj = [memo[k] for k in ok]
+            pred = raw["pred"].to_pylist()
+            buckets = [zlib.crc32(f"{s}\x1f{p}\x1f{o}".encode()) & 63
+                       for s, p, o in zip(subj, pred, obj)]
+            t = pa.table({
+                "bucket": pa.array(buckets, pa.int64()),
+                "subj_id": pa.array(subj, pa.string()),
+                "pred": raw["pred"],
+                "obj_id": pa.array(obj, pa.string()),
+                "partial_weight": raw["partial_weight"],
+            })
+            agg = t.group_by(["bucket", "subj_id", "pred", "obj_id"]).aggregate(
+                [("partial_weight", "sum")])
+            return agg.rename_columns(["bucket", "subj_id", "pred", "obj_id",
+                                       "partial_weight"])
 
-    def sum_bucket(group: pa.Table) -> pa.Table:
-        agg = (group.group_by(["subj_id", "pred", "obj_id"])
-               .aggregate([("partial_weight", "sum")]))
-        return agg.rename_columns(["subj_id", "pred", "obj_id", "weight"])
+        def sum_bucket(group: pa.Table) -> pa.Table:
+            agg = (group.group_by(["subj_id", "pred", "obj_id"])
+                   .aggregate([("partial_weight", "sum")]))
+            return agg.rename_columns(["subj_id", "pred", "obj_id", "weight"])
 
-    # final sort is over the aggregated (small) edge list, not the triple stream
-    edges = (triples
-             .map_batches(partial_edge_counts, batch_format="pyarrow")
-             .repartition(_compact_small())   # compact partials → bounded sort-shuffle fan-out
-             .groupby("bucket")
-             .map_groups(sum_bucket, batch_format="pyarrow")
-             .sort(["subj_id", "pred", "obj_id"]))
+        # final sort is over the aggregated (small) edge list, not the triples
+        edges_chain = (docs
+                       .map_batches(partial_edge_counts, batch_format="pyarrow")
+                       .repartition(_compact_small())
+                       .groupby("bucket")
+                       .map_groups(sum_bucket, batch_format="pyarrow")
+                       .sort(["subj_id", "pred", "obj_id"]))
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_nodes = ex.submit(nodes.materialize)
-        f_edges = ex.submit(edges.materialize)
+        # nodes/edges launch as soon as the root map is ready — overlapped
+        # with the (independent) mentions/triples/groups materializations
+        f_nodes = ex.submit(nodes_chain.materialize)
+        f_edges = ex.submit(edges_chain.materialize)
         nodes = f_nodes.result()
         edges = f_edges.result()
+        mentions = f_mentions.result()
+        triples = f_triples.result()
+        groups = f_groups.result()
 
     return {"mentions": mentions, "groups": groups, "triples": triples,
             "nodes": nodes, "edges": edges, "key_map": key_map}
