@@ -38,6 +38,42 @@ def tumbling_window(events: ray.data.Dataset, ts_col: str = "ts",
                        Sum("psum", alias_name="sum_value")))
 
 
+def sliding_window(events: ray.data.Dataset, ts_col: str = "ts",
+                   key_col: str = "event_type", value_col: str = "value",
+                   window_us: int = 7_200_000_000,
+                   slide_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """count + sum(value) per (key, sliding window): each event lands in
+    ``window_us / slide_us`` overlapping windows, assigned VECTORIZED per
+    batch (repeat + offset — no per-row loop) and pre-aggregated by the same
+    combiner-then-groupby shape as the tumbling variant. ``window_us`` must
+    be a multiple of ``slide_us``."""
+    if window_us % slide_us:
+        raise ValueError("window_us must be a multiple of slide_us")
+    per_event = window_us // slide_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us
+        # windows containing ts: starts base, base - slide, ..., base - (k-1)*slide
+        starts = (np.repeat(base, per_event)
+                  - np.tile(np.arange(per_event, dtype=np.int64) * slide_us,
+                            len(base)))
+        idx = pa.array(np.repeat(np.arange(len(base), dtype=np.int64), per_event))
+        t = pa.table({key_col: pc.take(batch[key_col], idx),
+                      "window_start": pa.array(starts),
+                      value_col: pc.take(batch[value_col], idx)})
+        agg = (t.group_by([key_col, "window_start"])
+               .aggregate([(value_col, "sum"), ([], "count_all")]))
+        return agg.rename_columns([key_col, "window_start", "psum", "pn"])
+
+    from ray.data.aggregate import Sum
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Sum("pn", alias_name="n_events"),
+                       Sum("psum", alias_name="sum_value")))
+
+
 def session_windows(events: ray.data.Dataset, ts_col: str = "ts",
                     key_col: str = "user_id",
                     gap_us: int = 1_800_000_000) -> ray.data.Dataset:

@@ -130,6 +130,74 @@ def q_tumbling_window(sf_dir: str):
     return win.map_batches(finish, batch_format="pyarrow")
 
 
+def q_sliding_window(sf_dir: str):
+    """2h windows sliding by 1h (each event in 2 windows), fixed-point sums."""
+    from ..ops.window import sliding_window
+
+    ds = _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def to_fixed(batch: pa.Table) -> pa.Table:
+        return pa.table({"ts": batch["ts"], "event_type": batch["event_type"],
+                         "value_i": _cents(batch["value"])})
+
+    win = sliding_window(ds.map_batches(to_fixed, batch_format="pyarrow"),
+                         value_col="value_i", window_us=2 * HOUR_US,
+                         slide_us=HOUR_US)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": batch["n_events"],
+            "sum_value": pc.divide(batch["sum_value"].cast(pa.float64()),
+                                   pa.scalar(100.0)),
+        })
+
+    return win.map_batches(finish, batch_format="pyarrow")
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 orders by totalprice per market segment: per-batch local top-k
+    combiner (only k·segments rows reach the shuffle) → map_groups final
+    top-k. The grouped-ordered-analytics shape (SQL row_number() ≤ k)."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_map)
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    K = 3
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        t = pa.table({
+            "c_mktsegment": pa.array([seg[k] for k in
+                                      batch["o_custkey"].to_pylist()], pa.string()),
+            "o_orderkey": batch["o_orderkey"],
+            "o_totalprice": batch["o_totalprice"],
+        })
+        idx = pc.sort_indices(t, sort_keys=[("c_mktsegment", "ascending"),
+                                            ("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        t = t.take(idx)
+        keep, counts = [], {}
+        for i, s in enumerate(t["c_mktsegment"].to_pylist()):
+            c = counts.get(s, 0)
+            if c < K:
+                keep.append(i)
+                counts[s] = c + 1
+        return t.take(pa.array(keep, pa.int64()))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("o_totalprice", "descending"),
+                                                ("o_orderkey", "ascending")])
+        return group.take(idx[:K])
+
+    return (orders.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .map_groups(final_topk, batch_format="pyarrow"))
+
+
 def q_sessions(sf_dir: str):
     """Per-user session windows (30-min gap), epoch-micros bounds."""
     ds = _tbl(sf_dir, "events", ["ts", "user_id"])
@@ -732,6 +800,8 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "token_totals": q_token_totals,
     "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "topk_per_group": q_topk_per_group,
     "sessions": q_sessions,
     "events_json": q_events_json,
     "join_orders_customer": q_join_orders_customer,
@@ -797,6 +867,27 @@ ORACLE_SQL = {
                count(*) AS n_events,
                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM events GROUP BY 1, 2""",
+    "sliding_window": """
+        WITH w AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 3600000000) * 3600000000 AS w0,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_i
+          FROM events)
+        SELECT event_type, window_start,
+               count(*) AS n_events,
+               CAST(sum(v_i) AS BIGINT) / 100.0 AS sum_value
+        FROM (SELECT event_type, w0 AS window_start, v_i FROM w
+              UNION ALL
+              SELECT event_type, w0 - 3600000000, v_i FROM w)
+        GROUP BY 1, 2""",
+    "topk_per_group": """
+        SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC,
+                                               o.o_orderkey) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        WHERE rn <= 3""",
     "sessions": """
         WITH d AS (SELECT user_id, epoch_us(ts) AS t FROM events),
         m AS (SELECT user_id, t,
