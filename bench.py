@@ -117,13 +117,18 @@ def run_scaling() -> dict:
     pages_fixture_dir(SCALING_SF)  # pre-generate so neither run pays it
 
     walls: dict[int, float] = {8: float("inf"), 32: float("inf")}
+    pair_ratios: list[float] = []
+    pairs: list[dict] = []
     counts: dict = {}
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
-    # INTERLEAVE the legs (8,32,8,32,...): the sandbox VM drifts ±30% over
+    # INTERLEAVE the legs (8,32,8,32,...): the sandbox VM drifts ±30-90% over
     # tens of minutes, so running all 8-CPU legs before all 32-CPU legs would
-    # bias the ratio by whatever direction the machine drifted. min-of-N per
-    # leg on alternating runs cancels the drift.
+    # bias the ratio by whatever direction the machine drifted. The headline
+    # number is the MEDIAN of per-repeat PAIRED ratios (each 8-leg divided by
+    # the 32-leg run back-to-back with it, i.e. in the same machine state) —
+    # the drift-robust estimator; min-of-N per leg is also reported.
     for _ in range(repeats):
+        rep: dict[int, float] = {}
         for cpus in (8, 32):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--kg-only",
@@ -132,18 +137,27 @@ def run_scaling() -> dict:
                     os.path.abspath(__file__)))
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             rec = json.loads(line)
-            walls[cpus] = min(walls[cpus], rec["queries"]["kg_pipeline"])
+            rep[cpus] = rec["queries"]["kg_pipeline"]
+            walls[cpus] = min(walls[cpus], rep[cpus])
             counts = rec.get("kg_counts", counts)
+        pair_ratios.append(rep[8] / (4.0 * rep[32]))
+        pairs.append({"t8": round(rep[8], 1), "t32": round(rep[32], 1),
+                      "eff": round(pair_ratios[-1], 3)})
+    pair_ratios.sort()
+    median_eff = pair_ratios[len(pair_ratios) // 2] if len(pair_ratios) % 2 \
+        else (pair_ratios[len(pair_ratios) // 2 - 1]
+              + pair_ratios[len(pair_ratios) // 2]) / 2
     t8, t32 = walls[8], walls[32]
-    eff = t8 / (4.0 * t32)
     docs = counts.get("docs", 0)
     triples = counts.get("triples", 0)
     return {
         "metric": "KG flagship scaling efficiency (num_cpus=8 vs 32, fresh "
-                  "processes, same input)",
-        "value": round(eff, 3),
+                  "processes, same input; median of per-repeat paired ratios)",
+        "value": round(median_eff, 3),
         "unit": "efficiency",
         "queries": {"kg_cpus8": t8, "kg_cpus32": t32},
+        "min_leg_efficiency": round(t8 / (4.0 * t32), 3),
+        "paired_runs": pairs,
         "sf": SCALING_SF,
         "num_cpus": 32,
         "throughput_docs_per_sec": {"cpus8": round(docs / t8, 1),
