@@ -6,12 +6,13 @@ exposes one callable per implemented operator/pipeline from SURVEY.md §2 plus t
 training-data ops; ``oracle_sql()`` carries the DuckDB-equivalent SQL for every
 checkable entry (same column names both sides). Approximate/near-dup queries are
 verified via exact SQL recomputation (brute-force Jaccard/Hamming/cosine, with a
-recursive-CTE connected-components oracle for cluster roots); kg_nodes/kg_edges
-via an export seam (the query writes its flat inputs + key map to
-/tmp/ner_ray_oracle and the oracle re-derives the aggregation in SQL). The six
-remaining rows-only entries (lsh_topk, fingerprints, kg_mentions/triples/groups,
-kg_search) are non-SQL-expressible; tests/ pin them against the single-threaded
-reference oracle.
+recursive-CTE connected-components oracle for cluster roots); the KG family
+(kg_nodes/kg_edges/kg_mentions/kg_triples/kg_groups) via an export seam (the
+query writes its flat inputs + key map to /tmp/ner_ray_oracle and the oracle
+re-derives the distributed aggregation in SQL). The three remaining rows-only
+entries (lsh_topk, fingerprints, kg_search) are non-SQL-expressible; tests/ pin
+them against the single-threaded reference oracle (and a recall-floor test for
+lsh_topk).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here (or
 in the library) calls ray.init()/ray.shutdown().

@@ -360,7 +360,11 @@ class HashEmbeddingTagger:
                         self._learned.get(bucket, np.zeros(NUM_TAGS, np.float32))
                         + self._one_hot(TAG2IDX[gold], lr)
                         - self._one_hot(TAG2IDX[got], lr))
-                    self._word_cache.pop(tok, None)
+            # the lowercased-token bucket is shared by every case variant (and
+            # emission blocks depend on subtoken pieces too), so popping the
+            # exact token would leave stale pre-update entries for siblings —
+            # drop the whole cache once per epoch instead
+            self._word_cache.clear()
             if errors == 0:
                 break
         return errors

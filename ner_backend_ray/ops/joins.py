@@ -39,15 +39,21 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
 def broadcast_join(left: ray.data.Dataset, right_table: pa.Table, key: str,
                    how: str = "inner") -> ray.data.Dataset:
     """left ⋈ right_table on ``key``; right must be driver-small. The table is put
-    in the object store once and read per actor/task, not re-shipped per batch."""
+    in the object store once and read per actor/task, not re-shipped per batch.
+
+    The per-batch merge is ``pa.Table.join`` (Acero hash join) — zero pandas
+    round-trips, so input Arrow dtypes survive exactly (pandas merge promotes
+    null-padded int columns to float64)."""
     right_ref = ray.put(right_table)
+    join_type = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
+    rcols = [c for c in right_table.column_names if c != key]
 
     def merge(batch: pa.Table) -> pa.Table:
         right = ray.get(right_ref)
-        lpdf = batch.to_pandas()
-        rpdf = right.to_pandas()
-        out = lpdf.merge(rpdf, on=key, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = batch.join(right, keys=key, join_type=join_type)
+        # Acero may reorder columns; pin the left-then-right layout.
+        return out.select(list(batch.column_names) + rcols)
 
     return left.map_batches(merge, batch_format="pyarrow")
 

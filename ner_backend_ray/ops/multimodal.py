@@ -200,26 +200,49 @@ class ResizeImage:
                                 pa.array(out, pa.binary()))
 
 
+def _pcm_samples(raw: bytes, width: int) -> np.ndarray:
+    """PCM frame bytes → float64 samples. 1/2/4-byte widths map to numpy
+    dtypes; 24-bit (width=3) is sign-extended by hand (no numpy int24)."""
+    if width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        return np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    pcm = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        pcm -= 128.0
+    return pcm
+
+
 class DecodeAudio:
     """Actor stage: WAV binary → (sample_rate, n_channels, duration_sec, rms,
-    zero_cross_rate, spectral_centroid) via the stdlib wave module + np.fft."""
+    zero_cross_rate, spectral_centroid, status) via the stdlib wave module +
+    np.fft. Malformed/unsupported files route to status="error" with zeroed
+    features (same loss-is-countable contract as DecodeImage/SampleFrames) —
+    one corrupt file never kills the map_batches task."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import wave
-        rates, chans, durs, rmss, zcrs, cents = [], [], [], [], [], []
+        rates, chans, durs, rmss, zcrs, cents, stats = [], [], [], [], [], [], []
         for data in batch["data"].to_pylist():
-            with wave.open(io.BytesIO(data or b""), "rb") as wf:
-                rate = wf.getframerate()
-                nch = wf.getnchannels()
-                width = wf.getsampwidth()
-                n = wf.getnframes()
-                raw = wf.readframes(n)
-            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-            pcm = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-            if width == 1:
-                pcm -= 128.0
-            if nch > 1:
-                pcm = pcm.reshape(-1, nch).mean(axis=1)
+            try:
+                with wave.open(io.BytesIO(data or b""), "rb") as wf:
+                    rate = wf.getframerate()
+                    nch = wf.getnchannels()
+                    width = wf.getsampwidth()
+                    n = wf.getnframes()
+                    raw = wf.readframes(n)
+                pcm = _pcm_samples(raw, width)
+                if nch > 1:
+                    pcm = pcm[:len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
+            except (wave.Error, EOFError, ValueError):
+                rates.append(0); chans.append(0); durs.append(0.0)
+                rmss.append(0.0); zcrs.append(0.0); cents.append(0.0)
+                stats.append("error")
+                continue
             rates.append(rate)
             chans.append(nch)
             durs.append(n / rate if rate else 0.0)
@@ -233,13 +256,15 @@ class DecodeAudio:
                 cents.append(float((freqs * spec).sum() / tot) if tot else 0.0)
             else:
                 cents.append(0.0)
+            stats.append("ok")
         return (batch.drop_columns(["data"])
                 .append_column("sample_rate", pa.array(rates, pa.int32()))
                 .append_column("n_channels", pa.array(chans, pa.int32()))
                 .append_column("duration_sec", pa.array(durs, pa.float64()))
                 .append_column("rms", pa.array(rmss, pa.float64()))
                 .append_column("zero_cross_rate", pa.array(zcrs, pa.float64()))
-                .append_column("spectral_centroid", pa.array(cents, pa.float64())))
+                .append_column("spectral_centroid", pa.array(cents, pa.float64()))
+                .append_column("status", pa.array(stats, pa.string())))
 
 
 def split_ppm_stream(data: bytes) -> list[bytes]:
@@ -273,8 +298,12 @@ class SampleFrames:
             data = data or b""
             try:
                 all_frames = split_ppm_stream(data)
+                if not all_frames:
+                    # empty payload parses to zero frames — still emit the
+                    # marker row so the loss is countable, not silent
+                    raise ValueError("no frames")
                 picks = np.linspace(0, len(all_frames) - 1, num=self.n,
-                                    dtype=np.int64) if all_frames else []
+                                    dtype=np.int64)
                 for f, src in enumerate(picks):
                     ids.append(vid)
                     idxs.append(f)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -28,7 +29,7 @@ import ray
 import ray.data
 
 from ..oracle import KGConfig
-from ..stages.canonicalize import (bucket_pairs, canonical_id, lsh_band_rows,
+from ..stages.canonicalize import (bucket_pairs, canonical_id, lsh_band_arrays,
                                    finalize_node_group, partial_node_counts)
 from ..stages.extract import extract_text_batch
 from ..stages.tag import TagDocs, explode_groups, explode_mentions, explode_triples
@@ -145,15 +146,15 @@ def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
     from ..ops.cc import resolve_roots_budgeted
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        keys, bands, hashes = [], [], []
-        for key in batch["entity_key"].to_pylist():
-            if not key.startswith("surf:"):
-                continue
-            for band, h in lsh_band_rows(key[5:]):
-                keys.append(key); bands.append(band); hashes.append(h)
-        return pa.table({"entity_key": pa.array(keys, pa.string()),
-                         "band": pa.array(bands, pa.int32()),
-                         "band_hash": pa.array(hashes, pa.int64())})
+        keys = [k for k in batch["entity_key"].to_pylist()
+                if k.startswith("surf:")]
+        bands, hashes = lsh_band_arrays([k[5:] for k in keys])
+        from ..stages.canonicalize import LSH_BANDS
+        rep = pa.array(np.repeat(np.array(keys, dtype=object), LSH_BANDS),
+                       pa.string())
+        return pa.table({"entity_key": rep,
+                         "band": pa.array(bands.ravel(), pa.int32()),
+                         "band_hash": pa.array(hashes.ravel(), pa.int64())})
 
     pairs = (nodes_pre
              .map_batches(band_rows, batch_format="pyarrow")
@@ -295,15 +296,14 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
         so the root map has no dependency on the mentions/nodes chain."""
         keys_arr = pc.struct_field(
             pc.list_flatten(batch["mentions"].combine_chunks()), "entity_key")
-        keys, bands, hashes = [], [], []
-        for key in set(keys_arr.to_pylist()):
-            if not key.startswith("surf:"):
-                continue
-            for band, h in lsh_band_rows(key[5:]):
-                keys.append(key); bands.append(band); hashes.append(h)
-        return pa.table({"entity_key": pa.array(keys, pa.string()),
-                         "band": pa.array(bands, pa.int32()),
-                         "band_hash": pa.array(hashes, pa.int64())})
+        keys = [k for k in set(keys_arr.to_pylist()) if k.startswith("surf:")]
+        bands, hashes = lsh_band_arrays([k[5:] for k in keys])
+        from ..stages.canonicalize import LSH_BANDS
+        rep = pa.array(np.repeat(np.array(keys, dtype=object), LSH_BANDS),
+                       pa.string())
+        return pa.table({"entity_key": rep,
+                         "band": pa.array(bands.ravel(), pa.int32()),
+                         "band_hash": pa.array(hashes.ravel(), pa.int64())})
 
     def root_map_from_docs() -> dict[str, str]:
         from ..ops.cc import resolve_roots_budgeted

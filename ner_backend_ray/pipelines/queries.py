@@ -10,10 +10,11 @@ can never flip a value hash.
 
 Approximate operators are driver-checkable too: near-dup queries verify against
 brute-force SQL recomputation (list_intersect Jaccard, bit_count Hamming,
-cosine) with a recursive-CTE components oracle for cluster roots; kg_nodes /
-kg_edges use the export seam (see _export_for_oracle). Only lsh_topk,
-fingerprints, kg_mentions/triples/groups and kg_search remain rows-only —
-their semantics are pinned by tests/ instead.
+cosine) with a recursive-CTE components oracle for cluster roots; the KG family
+(kg_nodes / kg_edges / kg_mentions / kg_triples / kg_groups) uses the export
+seam (see _export_for_oracle) — flat inputs exported, the distributed
+aggregation re-derived brute-force in SQL. Only lsh_topk, fingerprints and
+kg_search remain rows-only — their semantics are pinned by tests/ instead.
 """
 
 from __future__ import annotations
@@ -395,9 +396,10 @@ def _tag_documents(sf_dir: str) -> ray.data.Dataset:
                          "text": batch["text"]})
 
     # leave headroom for the read/explode tasks so a small (test) cluster can't
-    # starve: the actor pool must never reserve every CPU
+    # starve: the actor pool reserves all but 2 CPUs (the dominant stage should
+    # own the cluster — a fixed cap of 8 left 22 CPUs idle on the 32-CPU bench)
     n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    conc = max(1, min(8, n_cpus - 2))
+    conc = max(1, n_cpus - 2)
     return ds.map_batches(to_pages, batch_format="pyarrow").map_batches(
         TagDocs,
         fn_constructor_kwargs=dict(model_type="regex",
@@ -484,7 +486,7 @@ def q_preview(sf_dir: str):
                                    model_kwargs={"patterns": _WORD_PATTERNS},
                                    text_column="text"),
         batch_size=256, batch_format="pyarrow",
-        concurrency=max(1, min(8, n_cpus - 2)), num_cpus=1)
+        concurrency=max(1, n_cpus - 2), num_cpus=1)
 
     def summarize(batch: pa.Table) -> pa.Table:
         n_tokens = pc.list_value_length(batch["tokens"]).cast(pa.int64())
@@ -731,16 +733,61 @@ def kg_results(sf_dir_or_sf) -> dict[str, ray.data.Dataset]:
     return _KG_CACHE[fixture_dir]
 
 
+def _per_key_doc_rollup(ds: ray.data.Dataset, key: str,
+                        n_rows_name: str) -> ray.data.Dataset:
+    """Distributed (key → row count + distinct-url count) over a flat KG
+    table: Arrow combiner partials → groupby(key, url) exact-distinct shuffle
+    → combiner → groupby(key). This is the Ray machinery the export-seam
+    oracle re-derives brute-force in SQL."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], "url": batch["url"]})
+        agg = t.group_by([key, "url"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key, "url", "pn"])
+
+    per_doc = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby([key, "url"])
+               .aggregate(Sum("pn", alias_name="n")))
+
+    def partial2(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], "n": batch["n"]})
+        agg = t.group_by([key]).aggregate([("n", "sum"), ([], "count_all")])
+        return agg.rename_columns([key, "pm", "pd"])
+
+    return (per_doc.map_batches(partial2, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Sum("pm", alias_name=n_rows_name),
+                       Sum("pd", alias_name="n_docs")))
+
+
 def q_kg_mentions(sf_dir: str):
-    return kg_results(sf_dir)["mentions"]
+    """Per-label mention totals + distinct-doc counts over the flagship's
+    mentions table. SQL-checked via the export seam (round-2 verdict item #1):
+    the flat (url, label) mention rows are exported and the oracle re-derives
+    the distributed two-stage aggregation brute-force; per-doc mention CONTENT
+    is pinned by the exact reference-parity tests (tests/test_inference.py),
+    mirroring /root/reference/internal/integration_tests/inference_test.go:83-226."""
+    m = kg_results(sf_dir)["mentions"]
+    _export_for_oracle("kg_mention_labels", _collect_table(
+        m.map_batches(lambda b: b.select(["url", "label"]),
+                      batch_format="pyarrow")))
+    return _per_key_doc_rollup(m, "label", "n_mentions")
 
 
 def q_kg_triples(sf_dir: str):
-    return kg_results(sf_dir)["triples"]
+    """Per-predicate triple totals + distinct-doc counts (export seam, as
+    q_kg_mentions)."""
+    t = kg_results(sf_dir)["triples"]
+    _export_for_oracle("kg_triple_preds", _collect_table(
+        t.map_batches(lambda b: b.select(["url", "pred"]),
+                      batch_format="pyarrow")))
+    return _per_key_doc_rollup(t, "pred", "n_triples")
 
 
 def q_kg_groups(sf_dir: str):
-    return kg_results(sf_dir)["groups"]
+    """Per-group doc counts (export seam, as q_kg_mentions)."""
+    g = kg_results(sf_dir)["groups"]
+    _export_for_oracle("kg_group_rows", _collect_table(g))
+    return _per_key_doc_rollup(g, "group_name", "n_rows")
 
 
 def q_kg_nodes(sf_dir: str):
@@ -1094,4 +1141,19 @@ ORACLE_SQL = {
         JOIN km k1 ON t.subj_key = k1.entity_key
         JOIN km k2 ON t.obj_key = k2.entity_key
         GROUP BY 1, 2, 3""",
+    "kg_mentions": """
+        SELECT label, CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+        FROM read_parquet('/tmp/ner_ray_oracle/kg_mention_labels.parquet')
+        GROUP BY label""",
+    "kg_triples": """
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+        FROM read_parquet('/tmp/ner_ray_oracle/kg_triple_preds.parquet')
+        GROUP BY pred""",
+    "kg_groups": """
+        SELECT group_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+        FROM read_parquet('/tmp/ner_ray_oracle/kg_group_rows.parquet')
+        GROUP BY group_name""",
 }

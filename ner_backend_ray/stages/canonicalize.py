@@ -10,7 +10,8 @@ North-rule stage (SURVEY.md §2.5 A9, §2.7 D4/D5; no reference analog). Design:
    partials, not mentions. Head-domain / high-frequency-entity skew therefore never
    concentrates raw mention rows on one reducer.
 2. **MinHash-LSH alias clustering** merges near-duplicate *unlinked* surface keys:
-   char-3-gram shingles → k=32 minhashes (crc32 with per-permutation salts) → b=8
+   char-3-gram shingles → k=32 minhashes (the shared multiply-shift kernel from
+   ops/dedup.py, batched across keys — one numpy pass per Arrow batch) → b=8
    bands of r=4 → ``groupby(band, band_hash)`` buckets → verified Jaccard >= 0.5
    pairs → min-label propagation to connected-component roots. The mapping (only
    keys that actually cluster) is small and is broadcast, not joined.
@@ -25,11 +26,12 @@ Outputs are sorted by canonical id (global shuffle sort) before write.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..ops.dedup import band_hashes_from_sigs, minhash_sigs_batch
 
 MINHASH_K = 32
 LSH_BANDS = 8
@@ -37,8 +39,6 @@ LSH_ROWS = 4  # k = bands * rows
 _JACCARD_THRESHOLD = 0.5
 _BUCKET_CAP = 256   # above: split by identical-signature groups, never drop
 _REP_CAP = 1024     # above: sorted-neighborhood window + metrics counter
-
-_SALTS = [f"mh{i}\x00".encode() for i in range(MINHASH_K)]
 
 
 def canonical_id(root_key: str) -> str:
@@ -52,22 +52,38 @@ def _shingles(s: str) -> set[bytes]:
     return {b[i:i + 3] for i in range(len(b) - 2)}
 
 
+def _key_bytes(key: str) -> bytes:
+    return (" " + key + " ").encode("utf-8")
+
+
+def minhash_signatures(keys: list[str]) -> np.ndarray:
+    """(len(keys) × MINHASH_K) uint32 signatures over padded char-3-gram
+    shingles — ops/dedup.py's multiply-shift kernel, batched across keys (the
+    round-2 per-gram crc32 loop was ~100× slower and ran per distinct key in
+    every band-row stage)."""
+    return minhash_sigs_batch([_key_bytes(k) for k in keys], MINHASH_K)
+
+
 def minhash_signature(key: str) -> np.ndarray:
-    sh = _shingles(key)
-    sig = np.empty(MINHASH_K, dtype=np.uint32)
-    for i, salt in enumerate(_SALTS):
-        sig[i] = min(zlib.crc32(salt + g) for g in sh)
-    return sig
+    return minhash_signatures([key])[0]
+
+
+def lsh_band_arrays(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LSH banding for a batch of surface keys: returns
+    (band_ids, band_hashes), each of shape (len(keys) × LSH_BANDS), row-major
+    aligned with ``keys``."""
+    sigs = minhash_signatures(keys)
+    hashes = band_hashes_from_sigs(sigs, LSH_BANDS)
+    bands = np.broadcast_to(np.arange(LSH_BANDS, dtype=np.int32),
+                            hashes.shape)
+    return bands, hashes
 
 
 def lsh_band_rows(key: str) -> list[tuple[int, int]]:
-    """(band_id, band_hash) pairs for a surface key."""
-    sig = minhash_signature(key)
-    out = []
-    for b in range(LSH_BANDS):
-        band = sig[b * LSH_ROWS:(b + 1) * LSH_ROWS]
-        out.append((b, zlib.crc32(band.tobytes())))
-    return out
+    """(band_id, band_hash) pairs for one surface key (sequential-oracle path;
+    the pipeline uses :func:`lsh_band_arrays` over whole batches)."""
+    bands, hashes = lsh_band_arrays([key])
+    return list(zip(bands[0].tolist(), hashes[0].tolist()))
 
 
 def jaccard(a: str, b: str) -> float:
@@ -131,9 +147,10 @@ def bucket_pairs(group: pa.Table) -> pa.Table:
             for j in range(i + 1, n):
                 emit(keys[i], keys[j])
     elif n > _BUCKET_CAP:
+        sigs = minhash_signatures([k[5:] for k in keys])
         by_sig: dict[bytes, list[str]] = {}
-        for k in keys:
-            by_sig.setdefault(minhash_signature(k[5:]).tobytes(), []).append(k)
+        for k, sig in zip(keys, sigs):
+            by_sig.setdefault(sig.tobytes(), []).append(k)
         reps = sorted(ids[0] for ids in by_sig.values())  # keys pre-sorted
         for ids in by_sig.values():
             for k in ids[1:]:

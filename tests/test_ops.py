@@ -303,3 +303,117 @@ def test_minhash_sig_vectorized_properties():
     sim_ab = float(np.mean(a == b))
     sim_ac = float(np.mean(a == c))
     assert sim_ab == 1.0 and sim_ac < 0.3
+
+
+def test_minhash_sigs_batch_matches_single():
+    """The batched kernel must be bit-identical to the per-text path (the
+    canonicalize band-row stage and the sequential oracle rely on it)."""
+    from ner_backend_ray.ops.dedup import minhash_sig, minhash_sigs_batch
+    texts = ["john smith", "jon smith", "acme corporation", "x",
+             "the quick brown fox " * 5, ""]
+    datas = [t.lower().encode("utf-8") for t in texts]
+    batch = minhash_sigs_batch(datas, k=64)
+    for t, row in zip(texts, batch):
+        assert (row == minhash_sig(t, k=64)).all()
+    assert minhash_sigs_batch([], 64).shape == (0, 64)
+
+
+def test_simhash_pairs_distinct_and_match_collector(ray_session):
+    """simhash_pairs emits each pair exactly once (first-intact-block
+    ownership — no dedup shuffle needed) and agrees with the driver-scale
+    collector."""
+    import ray.data
+    from ner_backend_ray.ops.dedup import simhash_near_dups, simhash_pairs
+    base = "alpha beta gamma delta epsilon zeta eta theta iota " * 3
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + "kappa"},
+            {"doc_id": 3, "text": base},            # identical to 1
+            {"doc_id": 4, "text": base},            # identical to 1
+            {"doc_id": 5, "text": "unrelated content entirely here today friend"}]
+    ds = ray.data.from_items(rows)
+    raw = [(r["a"], r["b"]) for r in simhash_pairs(ds, max_hamming=3).take_all()]
+    assert len(raw) == len(set(raw)), "pair emitted from more than one block"
+    assert set(raw) == set(simhash_near_dups(ds, max_hamming=3))
+    assert {(1, 3), (1, 4), (3, 4), (1, 2)} <= set(raw)
+
+
+def test_simhash_clusters_match_pair_components(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.cc import union_find
+    from ner_backend_ray.ops.dedup import simhash_clusters, simhash_near_dups
+    base = "alpha beta gamma delta epsilon zeta eta theta iota " * 3
+    rows = [{"doc_id": i, "text": base + ("kappa" * (i % 2))} for i in range(1, 7)]
+    rows.append({"doc_id": 9, "text": "unrelated content entirely here today friend"})
+    ds = ray.data.from_items(rows)
+    pairs = simhash_near_dups(ds, max_hamming=3)
+    want = union_find(pairs)
+    got = simhash_clusters(ds, max_hamming=3)
+    assert {k: v for k, v in got.items() if k != v} == \
+        {k: v for k, v in want.items() if k != v}
+
+
+def test_embedding_pairs_distinct_across_tables(ray_session):
+    """With n_tables>1 a colliding pair lands in several tables; the pair
+    Dataset must still emit it once (first-collision ownership)."""
+    import ray.data
+    from ner_backend_ray.ops.cc import union_find
+    from ner_backend_ray.ops.dedup import (embedding_clusters, embedding_near_dups,
+                                           embedding_pairs)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16)
+    w = rng.standard_normal(16)
+    rows = [{"vec_id": 1, "embedding": v.tolist()},
+            {"vec_id": 2, "embedding": (v + 0.01 * rng.standard_normal(16)).tolist()},
+            {"vec_id": 3, "embedding": (v + 0.01 * rng.standard_normal(16)).tolist()},
+            {"vec_id": 4, "embedding": w.tolist()},
+            {"vec_id": 5, "embedding": rng.standard_normal(16).tolist()}]
+    ds = ray.data.from_items(rows)
+    raw = [(r["a"], r["b"]) for r in
+           embedding_pairs(ds, cos_threshold=0.99, n_planes=6, n_tables=8).take_all()]
+    assert len(raw) == len(set(raw)), "pair emitted from more than one table"
+    pairs = embedding_near_dups(ds, cos_threshold=0.99, n_planes=6, n_tables=8)
+    assert set(raw) == set(pairs)
+    assert {(1, 2), (1, 3), (2, 3)} <= set(raw)
+    want = union_find(pairs)
+    got = embedding_clusters(ds, cos_threshold=0.99, n_planes=6, n_tables=8)
+    assert {k: v for k, v in got.items() if k != v} == \
+        {k: v for k, v in want.items() if k != v}
+
+
+def test_decode_audio_error_path_and_24bit(ray_session):
+    import io
+    import wave
+    import ray.data
+    from ner_backend_ray.ops.multimodal import DecodeAudio
+    # 24-bit mono tone
+    t = np.arange(4000)
+    tone = (np.sin(2 * np.pi * 440 * t / 8000) * (1 << 22)).astype(np.int64)
+    pcm24 = b"".join(int(s & 0xFFFFFF).to_bytes(3, "little") for s in tone)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(pcm24)
+    rows = [{"id": 0, "data": buf.getvalue()},
+            {"id": 1, "data": b"RIFFgarbage-not-a-wav"},
+            {"id": 2, "data": b""}]
+    out = {r["id"]: r for r in ray.data.from_items(rows).map_batches(
+        DecodeAudio, batch_format="pyarrow", concurrency=1).take_all()}
+    assert out[0]["status"] == "ok"
+    assert out[0]["sample_rate"] == 8000
+    assert abs(out[0]["spectral_centroid"] - 440) < 10
+    # corrupt rows route to status="error" instead of killing the task
+    assert out[1]["status"] == "error" and out[1]["sample_rate"] == 0
+    assert out[2]["status"] == "error"
+
+
+def test_sample_frames_empty_payload_marker(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.multimodal import SampleFrames
+    rows = [{"id": 1, "data": b""}, {"id": 2, "data": b"not-a-ppm-stream"}]
+    out = ray.data.from_items(rows).map_batches(
+        SampleFrames, fn_constructor_kwargs={"n_frames": 3},
+        batch_format="pyarrow", concurrency=1).take_all()
+    # both unparseable payloads produce exactly one countable marker row
+    assert sorted((r["id"], r["frame_idx"]) for r in out) == [(1, -1), (2, -1)]
