@@ -7,12 +7,12 @@ training-data ops; ``oracle_sql()`` carries the DuckDB-equivalent SQL for every
 checkable entry (same column names both sides). Approximate/near-dup queries are
 verified via exact SQL recomputation (brute-force Jaccard/Hamming/cosine, with a
 recursive-CTE connected-components oracle for cluster roots); the KG family
-(kg_nodes/kg_edges/kg_mentions/kg_triples/kg_groups) via an export seam (the
-query writes its flat inputs + key map to /tmp/ner_ray_oracle and the oracle
-re-derives the distributed aggregation in SQL). The three remaining rows-only
-entries (lsh_topk, fingerprints, kg_search) are non-SQL-expressible; tests/ pin
-them against the single-threaded reference oracle (and a recall-floor test for
-lsh_topk).
+(kg_nodes/kg_edges/kg_mentions/kg_triples/kg_groups), lsh_topk, fingerprints and
+kg_search via an export seam (the query writes its trusted flat inputs —
+candidate pairs / per-window hashes / flat mentions + key map — to
+/tmp/ner_ray_oracle and the oracle re-derives the distributed
+aggregation/ranking in SQL). Every entry is oracle-checked; approximation
+quality (LSH recall, cluster content) is additionally pinned by tests/.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here (or
 in the library) calls ray.init()/ray.shutdown().

@@ -376,10 +376,13 @@ class HashEmbeddingTagger:
         return out
 
     def save(self, save_dir: str) -> None:
+        """Persist the artifact dir. ``save_dir`` may be a local path or an
+        fsspec URL (memory://, s3://, ...) — the reference's artifact store is
+        S3-backed (s3_test.go:58-293); ours goes through sources/fs.py."""
         import json
-        import os
-        os.makedirs(save_dir, exist_ok=True)
-        with open(os.path.join(save_dir, "model.json"), "w") as f:
+        from ..sources import fs
+        fs.makedirs(save_dir)
+        with fs.open_file(fs.join(save_dir, "model.json"), "w") as f:
             json.dump({"vocab": self._vocab, "o_vocab": self._o_vocab,
                        "learned": {str(b): v.tolist()
                                    for b, v in sorted(self._learned.items())},
@@ -388,8 +391,8 @@ class HashEmbeddingTagger:
     @classmethod
     def load(cls, save_dir: str) -> "HashEmbeddingTagger":
         import json
-        import os
-        with open(os.path.join(save_dir, "model.json")) as f:
+        from ..sources import fs
+        with fs.open_file(fs.join(save_dir, "model.json")) as f:
             meta = json.load(f)
         model = cls([tuple(p) for p in meta["vocab"]], meta["o_vocab"])
         for b_str, delta in meta.get("learned", {}).items():

@@ -77,15 +77,14 @@ def brute_force_topk(embs: ray.data.Dataset, queries: np.ndarray,
                      "rank": pa.array(out_r, pa.int64())})
 
 
-def lsh_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
-             k: int = 5, n_planes: int = 8, probe_bits: int = 1, seed: int = 7,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
-    """Approximate cosine top-k: score only vectors whose hyperplane bucket matches
-    a query bucket (multi-probe: exact bucket + up-to-``probe_bits``-bit flips)."""
+def _lsh_probe_sets(queries: np.ndarray, n_planes: int, probe_bits: int,
+                    seed: int):
+    """Shared deterministic probe-set construction for lsh_topk /
+    lsh_candidates: random hyperplanes, query buckets, and per-query probe
+    buckets (exact bucket + all ≤probe_bits-bit flips)."""
     from itertools import combinations
     q = np.asarray(queries, dtype=np.float64)
-    dim = q.shape[1]
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    planes = np.random.default_rng(seed).standard_normal((q.shape[1], n_planes))
     powers = 1 << np.arange(n_planes)
     q_buckets = ((q @ planes) > 0).dot(powers).astype(np.int64)
     flips = [0]
@@ -93,7 +92,43 @@ def lsh_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
         for bits in combinations(range(n_planes), nbits):
             flips.append(sum(1 << b for b in bits))
     probe_sets = [{int(b) ^ f for f in flips} for b in q_buckets]
-    all_probes = set().union(*probe_sets)
+    return q, planes, powers, probe_sets, set().union(*probe_sets)
+
+
+def lsh_candidates(embs: ray.data.Dataset, queries: np.ndarray,
+                   query_ids: list[int], n_planes: int = 8,
+                   probe_bits: int = 1, seed: int = 7, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> ray.data.Dataset:
+    """The (query_id, vec_id) candidate pairs lsh_topk would score — the
+    verification seam: an exact top-k restricted to these pairs (SQL oracle)
+    must equal lsh_topk's output. Same planes/probes (same seed) by
+    construction."""
+    _, planes, powers, probe_sets, all_probes = _lsh_probe_sets(
+        queries, n_planes, probe_bits, seed)
+    qids = list(query_ids)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        vecs = _as_matrix(batch[vec_col])
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        buckets = ((vecs @ planes) > 0).dot(powers).astype(np.int64)
+        out_q, out_v = [], []
+        for qi, qid in enumerate(qids):
+            cand = np.isin(buckets, list(probe_sets[qi]))
+            out_q.extend([qid] * int(cand.sum()))
+            out_v.extend(ids[cand].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64())})
+
+    return embs.map_batches(pairs, batch_format="pyarrow")
+
+
+def lsh_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
+             k: int = 5, n_planes: int = 8, probe_bits: int = 1, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Approximate cosine top-k: score only vectors whose hyperplane bucket matches
+    a query bucket (multi-probe: exact bucket + up-to-``probe_bits``-bit flips)."""
+    q, planes, powers, probe_sets, all_probes = _lsh_probe_sets(
+        queries, n_planes, probe_bits, seed)
     qn = _normalize(q)
     qids = list(query_ids)
 

@@ -13,10 +13,12 @@ import pyarrow as pa
 
 def redact_text(text: bytes, entities: list[dict],
                 assigned: dict[str, str] | None = None,
-                label_counts: dict[str, int] | None = None) -> tuple[str, dict[str, str]]:
+                label_counts: dict[str, int] | None = None,
+                tag_map: dict[str, str] | None = None) -> tuple[str, dict[str, str]]:
     """``entities``: dicts with start/end/label/text (byte offsets). Returns the
     redacted text and the placeholder map. ``assigned``/``label_counts`` carry
-    session state across calls (stable numbering)."""
+    session state across calls (stable numbering); ``tag_map`` (if given) gains
+    the placeholder→surface inverse at assignment time (session.go:97-98)."""
     assigned = assigned if assigned is not None else {}
     label_counts = label_counts if label_counts is not None else {}
     ents = sorted(entities, key=lambda e: (e["start"], -e["end"]))
@@ -32,6 +34,8 @@ def redact_text(text: bytes, entities: list[dict],
             label_counts[e["label"]] = n
             token = f'[{e["label"]}_{n}]'
             assigned[surface_key] = token
+            if tag_map is not None:
+                tag_map[token] = str(e["text"])
         out += text[cursor:e["start"]]
         out += token.encode("utf-8")
         cursor = e["end"]

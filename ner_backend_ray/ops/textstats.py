@@ -164,22 +164,27 @@ def lang_id_ngram(text: str, max_chars: int = 1000) -> str:
     return best_lang
 
 
+def fingerprint_window_hashes(text: str, window: int = 8) -> list[int]:
+    """Per-window blake2b hashes (uint64) over rolling token windows — the
+    trusted kernel under ``fingerprint`` (pinned by unit tests) and the
+    export seam for its SQL oracle (the min-aggregation re-derived in SQL).
+    Empty text → [0]; short text → one hash of all tokens."""
+    toks = text.lower().split()
+    if not toks:
+        return [0]
+    if len(toks) <= window:
+        h = hashlib.blake2b(" ".join(toks).encode(), digest_size=8).digest()
+        return [int.from_bytes(h, "little")]
+    return [int.from_bytes(
+        hashlib.blake2b(" ".join(toks[i:i + window]).encode(),
+                        digest_size=8).digest(), "little")
+        for i in range(len(toks) - window + 1)]
+
+
 def fingerprint(text: str, window: int = 8) -> int:
     """Winnowing-style document fingerprint: min blake2b hash over rolling token
     windows — stable under small edits outside the min window."""
-    toks = text.lower().split()
-    if not toks:
-        return 0
-    if len(toks) <= window:
-        h = hashlib.blake2b(" ".join(toks).encode(), digest_size=8).digest()
-        return int.from_bytes(h, "little")
-    best = None
-    for i in range(len(toks) - window + 1):
-        h = hashlib.blake2b(" ".join(toks[i:i + window]).encode(), digest_size=8).digest()
-        v = int.from_bytes(h, "little")
-        if best is None or v < best:
-            best = v
-    return best
+    return min(fingerprint_window_hashes(text, window))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -91,9 +91,13 @@ def _read_blocks() -> int:
     return max(48, min(180, int(1.6 * actors)))
 
 
-def read_pages(fixture_dir: str) -> ray.data.Dataset:
+def read_pages(fixture_dir: str, filesystem=None) -> ray.data.Dataset:
+    """``filesystem``: optional pyarrow/fsspec filesystem (the object-store
+    seam — reference reads pages from S3, s3_connector.go:71-93)."""
+    from ..sources.fs import wrap_for_arrow
     return ray.data.read_parquet(os.path.join(fixture_dir, "pages"),
-                                 override_num_blocks=_read_blocks())
+                                 override_num_blocks=_read_blocks(),
+                                 filesystem=wrap_for_arrow(filesystem))
 
 
 def tag_pages(pages: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> ray.data.Dataset:

@@ -78,9 +78,15 @@ def parse_files_batch(batch: pa.Table, path_col: str = "path",
     })
 
 
-def read_raw_files(paths: str | list[str]) -> ray.data.Dataset:
+def read_raw_files(paths: str | list[str], filesystem=None) -> ray.data.Dataset:
     """Directory/file list → parsed (path, text, status) Dataset. File counters
     (succeeded/failed/skipped/total — processor.go:140-153) are
-    ``ds.groupby("status").count()``."""
-    ds = ray.data.read_binary_files(paths, include_paths=True)
+    ``ds.groupby("status").count()``.
+
+    ``filesystem``: optional pyarrow or fsspec filesystem — the S3-connector
+    seam (s3_connector.go:71-93); fsspec instances are wrapped for Arrow and
+    pickle to the read tasks (tests/test_fs.py pins this)."""
+    from .fs import wrap_for_arrow
+    ds = ray.data.read_binary_files(paths, include_paths=True,
+                                    filesystem=wrap_for_arrow(filesystem))
     return ds.map_batches(parse_files_batch, batch_format="pyarrow")

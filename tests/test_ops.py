@@ -111,6 +111,48 @@ def test_lsh_topk_reasonable_recall(embs_ds):
     assert recall >= 0.4
 
 
+def test_lsh_candidates_seam_consistent(embs_ds):
+    """The export seam: lsh_candidates (same seed/planes) must admit every
+    neighbor lsh_topk reports, and an exact top-k restricted to the candidate
+    set must reproduce lsh_topk's ranking — what the SQL oracle re-derives."""
+    from ner_backend_ray.ops.ann import lsh_candidates, lsh_topk
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    queries = mat[:3]
+    topk = lsh_topk(embs_ds, queries, [0, 1, 2], k=5, n_planes=8,
+                    probe_bits=2).to_pylist()
+    cand = lsh_candidates(embs_ds, queries, [0, 1, 2], n_planes=8,
+                          probe_bits=2).take_all()
+    cand_sets: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in cand:
+        cand_sets[r["query_id"]].add(r["vec_id"])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in (0, 1, 2):
+        got = sorted((r for r in topk if r["query_id"] == q),
+                     key=lambda r: r["rank"])
+        assert all(r["neighbor_id"] in cand_sets[q] for r in got)
+        cmask = np.isin(ids, list(cand_sets[q]))
+        sims = nm[cmask] @ nm[q]
+        order = np.lexsort((ids[cmask], -sims))[:5]
+        assert [r["neighbor_id"] for r in got] == ids[cmask][order].tolist()
+
+
+def test_fingerprint_window_hashes_kernel():
+    from ner_backend_ray.ops.textstats import (fingerprint,
+                                               fingerprint_window_hashes)
+    assert fingerprint_window_hashes("") == [0]
+    assert fingerprint("") == 0
+    short = "one two three"
+    assert len(fingerprint_window_hashes(short)) == 1
+    assert fingerprint(short) == fingerprint_window_hashes(short)[0]
+    long = " ".join(f"tok{i}" for i in range(20))
+    whs = fingerprint_window_hashes(long, window=8)
+    assert len(whs) == 20 - 8 + 1
+    assert fingerprint(long, window=8) == min(whs)
+    assert all(0 <= h < 2 ** 64 for h in whs)
+
+
 def test_broadcast_and_bucket_join_agree(ray_session):
     import ray.data
     from ner_backend_ray.ops.joins import broadcast_join, bucket_hash_join
