@@ -76,19 +76,25 @@ def _compact_wide(cpus: int | None = None) -> int:
 
 
 def _read_blocks() -> int:
-    """Read blocks = 3 × tag-actor-pool size: an exact multiple so the final task
-    wave fills every actor (small tail), few enough blocks that the ~20 ms/block
-    driver cost of every downstream execution stays bounded. The docs dataset is
-    deliberately NEVER repartitioned: Ray's shuffle=False repartition funnels all
-    data through a single reduce task (measured ~19 s for 2 GB) — a serial,
-    data-proportional cost that would cap scaling efficiency."""
+    """Read blocks = an EXACT MULTIPLE of the tag-actor-pool size, ≥48.
+
+    The tag stage executes in waves of pool-size tasks; a non-multiple block
+    count leaves the last wave partially filled — measured at sf0.4/32cpu
+    (30 actors), 48 blocks meant wave 2 ran 18/30 actors, idling 20% of
+    pool-seconds, a cost that hits ONLY the wide leg (at 8 CPUs / 6 actors 48
+    is already a multiple) and so directly depresses scaling efficiency.
+    The floor (48) keeps task quanta fine on small clusters; the cap bounds
+    the ~20 ms/block driver cost of the 6 downstream executions over the
+    materialized docs. The docs dataset is deliberately NEVER repartitioned:
+    Ray's shuffle=False repartition funnels all data through a single reduce
+    task (measured ~19 s for 2 GB) — a serial, data-proportional cost that
+    would cap scaling efficiency."""
     actors = max(2, _cluster_cpus() - 2)
-    # 1.6× actors (floor 48): measured at sf0.4/32cpu, 48 blocks beats 90 by
-    # ~1.5s on the graph phase (6 downstream executions × ~20 ms/block of
-    # driver scheduling) with no tag-stage tail penalty; 32 blocks starves the
-    # tag pool's final wave. The floor keeps task quanta fine on small
-    # clusters (an 8-CPU session also lands on 48).
-    return max(48, min(180, int(1.6 * actors)))
+    waves = max(2, -(-48 // actors))      # ≥2 full waves and ≥48 blocks
+    blocks = actors * waves
+    if blocks > 192:                      # bound driver per-block cost…
+        blocks = actors * max(1, 192 // actors)   # …but stay a multiple
+    return blocks
 
 
 def read_pages(fixture_dir: str, filesystem=None) -> ray.data.Dataset:
@@ -278,15 +284,31 @@ def _merge_node_group(group: pa.Table) -> pa.Table:
     })
 
 
-def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[str, ray.data.Dataset]:
+def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
+              timings: dict | None = None) -> dict[str, ray.data.Dataset]:
     """Per-doc nested dataset → {mentions, groups, triples, nodes, edges} datasets.
     ``docs`` should be materialized or parquet-backed (it is consumed 4×).
 
     Executions stay sequential — concurrent Dataset executions contend for the
     cluster and lose (measured) — but every shuffle input is block-count-bounded
     (see _target_blocks) and all combiner partials are vectorized Arrow kernels,
-    so per-stage overhead is a handful of seconds regardless of scale."""
+    so per-stage overhead is a handful of seconds regardless of scale.
+
+    ``timings`` (optional): filled with each sub-chain's completion offset in
+    seconds from phase start — the profiling seam bench/tuning uses."""
+    import time as _time
     from ray.data.aggregate import Sum
+
+    _t0 = _time.time()
+
+    def _timed(name, fn):
+        if timings is None:
+            return fn
+        def run():
+            out = fn()
+            timings[name] = round(_time.time() - _t0, 2)
+            return out
+        return run
 
     from ..stages.canonicalize import canonical_id, finalize_node_group, partial_node_counts
 
@@ -336,27 +358,66 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
     # nodes/edges critical path):
     #   docs → {mentions, triples, groups, root_map, nodes_pre}
     #   nodes_pre + root_map → nodes;   docs + root_map → edges
-    with ThreadPoolExecutor(max_workers=7) as ex:
-        f_mentions = ex.submit(
-            lambda: _linked_mentions(docs, cfg, alias_path).materialize())
-        f_triples = ex.submit(
-            lambda: _linked_triples(docs, cfg, alias_path).materialize())
-        f_groups = ex.submit(
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        f_mentions = ex.submit(_timed(
+            "mentions",
+            lambda: _linked_mentions(docs, cfg, alias_path).materialize()))
+        f_triples = ex.submit(_timed(
+            "triples",
+            lambda: _linked_triples(docs, cfg, alias_path).materialize()))
+        f_groups = ex.submit(_timed(
+            "groups",
             lambda: docs.map_batches(explode_groups,
-                                     batch_format="pyarrow").materialize())
-        f_root_map = ex.submit(root_map_from_docs)
+                                     batch_format="pyarrow").materialize()))
+        f_root_map = ex.submit(_timed("root_map", root_map_from_docs))
         # the sort-based groupby creates (input blocks)² shuffle partitions, each
         # with ~20 ms of driver-side cost — so combiner partials are compacted to
         # a few blocks first (they are small: distinct keys per block, not
         # mentions). At real scale this knob tracks partial volume (see
         # _compact_small), not a constant.
-        f_nodes_pre = ex.submit(
+        f_nodes_pre = ex.submit(_timed(
+            "nodes_pre",
             lambda: (docs
                      .map_batches(node_partials_from_docs, batch_format="pyarrow")
                      .repartition(_compact_small())
                      .groupby("entity_key")
                      .map_groups(finalize_node_group, batch_format="pyarrow")
+                     .materialize())))
+
+        def partial_edge_counts_raw(batch: pa.Table) -> pa.Table:
+            """Fused explode+combiner over RAW entity keys — needs no broadcast
+            state, so the big edge aggregation starts at phase start instead of
+            waiting on the root map (which was the graph-phase critical path:
+            measured 16.0 s edges completion vs 7.6 s root-map at sf0.4/32cpu).
+            The canonical-root mapping is applied AFTER aggregation, to the
+            small distinct-edge table. Bucketing: int64 hash of the raw key
+            triple — Ray's sort-based aggregate on multi-string keys is
+            ~10k rows/s/core (measured); sorting an int64 bucket and doing the
+            real aggregation with Arrow's C group_by inside each bucket is
+            ~100×. Only (bucket, keys, partial weight) rows shuffle."""
+            import zlib
+            raw = _edge_key_partials(explode_triples(batch))
+            buckets = [zlib.crc32(f"{s}\x1f{p}\x1f{o}".encode()) & 63
+                       for s, p, o in zip(raw["subj_key"].to_pylist(),
+                                          raw["pred"].to_pylist(),
+                                          raw["obj_key"].to_pylist())]
+            return raw.add_column(0, "bucket", pa.array(buckets, pa.int64()))
+
+        def sum_bucket_raw(group: pa.Table) -> pa.Table:
+            agg = (group.group_by(["subj_key", "pred", "obj_key"])
+                   .aggregate([("partial_weight", "sum")]))
+            return agg.rename_columns(["subj_key", "pred", "obj_key",
+                                       "partial_weight"])
+
+        f_edges_raw = ex.submit(
+            lambda: (docs
+                     .map_batches(partial_edge_counts_raw,
+                                  batch_format="pyarrow")
+                     .repartition(_compact_small())
+                     .groupby("bucket")
+                     .map_groups(sum_bucket_raw, batch_format="pyarrow")
                      .materialize()))
+
         root_map_ref = ray.put(f_root_map.result())
         nodes_pre = f_nodes_pre.result()
 
@@ -379,31 +440,28 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
         # the export the driver oracle uses to recompute nodes/edges in SQL
         key_map = keyed.select_columns(["entity_key", "canonical_id"])
 
-        def partial_edge_counts(batch: pa.Table) -> pa.Table:
-            """Fused explode+combiner straight off the docs dataset: canonical
-            ids memoized over the batch's distinct keys (few), group-count via
-            a vectorized Arrow kernel, and an int64 hash bucket as the shuffle
-            key — Ray's sort-based aggregate on multi-string keys is
-            ~10k rows/s/core (measured); sorting an int64 bucket and doing the
-            real aggregation with Arrow's C group_by inside each bucket is
-            ~100× faster. Only (bucket, ids, partial weight) rows shuffle."""
+        def canonicalize_edge_partials(batch: pa.Table) -> pa.Table:
+            """Apply the root map to the SMALL aggregated raw-edge table
+            (distinct raw key triples, not triples): canonical ids memoized
+            over the batch's distinct keys, local re-aggregation (raw keys
+            that merge under canonicalization collapse here), re-bucketed on
+            the canonical triple for the final tiny exact groupby."""
             import zlib
             rm = ray.get(root_map_ref)
-            raw = _edge_key_partials(explode_triples(batch))
-            sk = raw["subj_key"].to_pylist()
-            ok = raw["obj_key"].to_pylist()
+            sk = batch["subj_key"].to_pylist()
+            ok = batch["obj_key"].to_pylist()
             memo = {k: canonical_id(rm.get(k, k)) for k in set(sk) | set(ok)}
             subj = [memo[k] for k in sk]
             obj = [memo[k] for k in ok]
-            pred = raw["pred"].to_pylist()
+            pred = batch["pred"].to_pylist()
             buckets = [zlib.crc32(f"{s}\x1f{p}\x1f{o}".encode()) & 63
                        for s, p, o in zip(subj, pred, obj)]
             t = pa.table({
                 "bucket": pa.array(buckets, pa.int64()),
                 "subj_id": pa.array(subj, pa.string()),
-                "pred": raw["pred"],
+                "pred": batch["pred"],
                 "obj_id": pa.array(obj, pa.string()),
-                "partial_weight": raw["partial_weight"],
+                "partial_weight": batch["partial_weight"],
             })
             agg = t.group_by(["bucket", "subj_id", "pred", "obj_id"]).aggregate(
                 [("partial_weight", "sum")])
@@ -415,18 +473,25 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str) -> dict[s
                    .aggregate([("partial_weight", "sum")]))
             return agg.rename_columns(["subj_id", "pred", "obj_id", "weight"])
 
-        # final sort is over the aggregated (small) edge list, not the triples
-        edges_chain = (docs
-                       .map_batches(partial_edge_counts, batch_format="pyarrow")
-                       .repartition(_compact_small())
-                       .groupby("bucket")
-                       .map_groups(sum_bucket, batch_format="pyarrow")
-                       .sort(["subj_id", "pred", "obj_id"]))
+        # nodes launch as soon as the root map is ready — overlapped with the
+        # (independent) mentions/triples/groups/raw-edge materializations
+        f_nodes = ex.submit(_timed("nodes", nodes_chain.materialize))
 
-        # nodes/edges launch as soon as the root map is ready — overlapped
-        # with the (independent) mentions/triples/groups materializations
-        f_nodes = ex.submit(nodes_chain.materialize)
-        f_edges = ex.submit(edges_chain.materialize)
+        # edges: continuation over the already-aggregated raw edges (which
+        # have been materializing concurrently with the root map since phase
+        # start); only the small canonical re-aggregation + sort remain on the
+        # root-map-dependent tail
+        def edges_run():
+            edges_chain = (f_edges_raw.result()
+                           .map_batches(canonicalize_edge_partials,
+                                        batch_format="pyarrow")
+                           .repartition(_compact_small())
+                           .groupby("bucket")
+                           .map_groups(sum_bucket, batch_format="pyarrow")
+                           .sort(["subj_id", "pred", "obj_id"]))
+            return edges_chain.materialize()
+
+        f_edges = ex.submit(_timed("edges", edges_run))
         nodes = f_nodes.result()
         edges = f_edges.result()
         mentions = f_mentions.result()
