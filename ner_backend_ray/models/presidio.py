@@ -1,4 +1,4 @@
-"""Stateless pattern-recognizer bank ("presidio"-style tagger).
+r"""Stateless pattern-recognizer bank ("presidio"-style tagger).
 
 Full-parity port of the reference bank (internal/core/presidio.go:50-243 +
 internal/core/recognizers.yaml — itself vendored from the public Microsoft

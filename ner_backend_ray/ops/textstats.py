@@ -61,17 +61,33 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     only_alpha = pc.replace_substring_regex(text, r"[^A-Za-z]", "")
     alpha_count = pc.utf8_length(only_alpha)
     safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, pa.int32()))
-    stop = _STOPWORDS["en"]
-    stop_ratio = []
-    mean_len = []
-    for toks in tokens.to_pylist():
-        toks = [t for t in toks if t]
-        if not toks:
-            stop_ratio.append(0.0)
-            mean_len.append(0.0)
-            continue
-        stop_ratio.append(sum(1 for t in toks if t.lower() in stop) / len(toks))
-        mean_len.append(sum(len(t) for t in toks) / len(toks))
+    # stopword ratio + mean token length, fully vectorized: flatten the token
+    # lists, score every token once, then per-row segment sums via cumsum
+    # diffs (robust to empty rows, unlike reduceat). Integer sums ÷ counts in
+    # float64 — bit-identical to the per-row Python loop it replaced (the
+    # doc_quality oracle hash depends on that).
+    la = tokens.combine_chunks()
+    row_lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(row_lens) + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=offsets[1:])
+    flat = pc.list_flatten(la)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = tok_lens > 0  # split_whitespace can emit "" at text edges
+    is_stop = pc.is_in(pc.utf8_lower(flat),
+                       value_set=pa.array(sorted(_STOPWORDS["en"]))) \
+        .to_numpy(zero_copy_only=False)
+
+    def seg_sum(vals: np.ndarray) -> np.ndarray:
+        c = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(vals, out=c[1:])
+        return c[offsets[1:]] - c[offsets[:-1]]
+
+    cnt = seg_sum(nonempty)
+    tot_len = seg_sum(tok_lens)          # empty tokens add 0 anyway
+    stop_cnt = seg_sum(is_stop & nonempty)
+    denom = np.maximum(cnt, 1)
+    stop_ratio = np.where(cnt > 0, stop_cnt / denom, 0.0)
+    mean_len = np.where(cnt > 0, tot_len / denom, 0.0)
     return (batch
             .append_column("n_tokens", n_tokens.cast(pa.int64()))
             .append_column("punct_ratio",

@@ -90,10 +90,11 @@ def _read_blocks() -> int:
     task (measured ~19 s for 2 GB) — a serial, data-proportional cost that
     would cap scaling efficiency."""
     actors = max(2, _cluster_cpus() - 2)
-    waves = max(2, -(-48 // actors))      # ≥2 full waves and ≥48 blocks
+    min_waves = int(os.environ.get("GRAFT_READ_WAVES", "4"))
+    waves = max(min_waves, -(-48 // actors))  # ≥min_waves full waves, ≥48 blocks
     blocks = actors * waves
-    if blocks > 192:                      # bound driver per-block cost…
-        blocks = actors * max(1, 192 // actors)   # …but stay a multiple
+    if blocks > 256:                      # bound driver per-block cost…
+        blocks = actors * max(1, 256 // actors)   # …but stay a multiple
     return blocks
 
 
