@@ -22,7 +22,10 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_SF = 0.4  # compute-dominated input so efficiency measures the pipeline
+# compute-dominated input so efficiency measures the pipeline, not fixed
+# driver costs; 0.4 keeps legs short on the noisy sandbox, larger values
+# amortize the per-run constant further (GRAFT_SCALING_SF to override)
+SCALING_SF = float(os.environ.get("GRAFT_SCALING_SF", "0.4"))
 
 BENCH_QUERIES = [
     "dedup_exact", "minhash_neardups", "quality_filter", "regex_mention_runs",
@@ -92,22 +95,48 @@ def run_bench(num_cpus: int, sf_dir: str, names: list[str], kg: bool) -> dict:
 
     from ner_backend_ray.pipelines.queries import QUERIES
 
+    # Each timed section runs BENCH_REPEATS times and reports the MIN: this
+    # shared host shows 0-30% hypervisor steal drifting over minutes, and the
+    # same binary measures 27-111 s for one suite depending on when it runs
+    # (round-2 BENCH was noise-dominated). Min-of-N is the standard capability
+    # estimator under one-sided noise; per-section steal%% is attached so a
+    # reader can judge each number's cleanliness.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2" if kg else "1")))
     times: dict[str, float] = {}
+    steals: dict[str, float] = {}
     extra: dict = {}
+
+    def timed(name: str, fn) -> None:
+        best, best_steal = float("inf"), 0.0
+        for _ in range(repeats):
+            tot0, st0 = _cpu_sample()
+            t0 = time.time()
+            fn()
+            wall = time.time() - t0
+            tot1, st1 = _cpu_sample()
+            if wall < best:
+                best = wall
+                best_steal = 100.0 * (st1 - st0) / max(1, tot1 - tot0)
+        times[name] = round(best, 3)
+        steals[name] = round(best_steal, 2)
+
     if kg:
         sf = _sf_of(sf_dir)
-        tot0, st0 = _cpu_sample()
-        wall, counts = run_kg(sf)
-        tot1, st1 = _cpu_sample()
-        times["kg_pipeline"] = round(wall, 3)
+        counts_box: dict = {}
+
+        def kg_fn():
+            wall, counts_box["counts"] = run_kg(sf)
+
+        timed("kg_pipeline", kg_fn)
+        counts = counts_box["counts"]
         extra["kg_counts"] = counts
-        extra["kg_triples_per_sec"] = round(counts["triples"] / wall, 1)
-        extra["kg_docs_per_sec"] = round(counts["docs"] / wall, 1)
-        extra["kg_steal_pct"] = round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
+        extra["kg_triples_per_sec"] = round(counts["triples"] / times["kg_pipeline"], 1)
+        extra["kg_docs_per_sec"] = round(counts["docs"] / times["kg_pipeline"], 1)
+        extra["kg_steal_pct"] = steals["kg_pipeline"]
     for name in names:
-        t0 = time.time()
-        _consume(QUERIES[name](sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        timed(name, lambda name=name: _consume(QUERIES[name](sf_dir)))
+    if names:
+        extra["steal_pct"] = steals
 
     result = {
         "metric": "headline pipeline wall time (KG flagship + operator suite)",
@@ -159,7 +188,11 @@ def run_scaling() -> dict:
                 [sys.executable, os.path.abspath(__file__), "--kg-only",
                  "--cpus", str(cpus), "--kg-sf", str(SCALING_SF)],
                 capture_output=True, text=True, check=True, cwd=os.path.dirname(
-                    os.path.abspath(__file__)))
+                    os.path.abspath(__file__)),
+                # one timed run per leg: the interleaved-pair + steal-gate
+                # protocol owns noise handling here, min-of-N inside a leg
+                # would just stretch each pair
+                env={**os.environ, "BENCH_REPEATS": "1"})
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             rec = json.loads(line)
             rep[cpus] = rec["queries"]["kg_pipeline"]
