@@ -46,9 +46,15 @@ HOUR_US = 3_600_000_000
 GAP_US = 1_800_000_000
 
 
-def _tbl(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def _tbl(sf_dir: str, name: str, columns: list[str] | None = None,
+         num_blocks: int | None = None) -> ray.data.Dataset:
+    """``num_blocks``: pass ≥ the consuming actor-pool size for actor-pool
+    stages — map_batches parallelism is bounded by BLOCK count, and the
+    default planner cuts a small single-file table into a handful of blocks,
+    leaving most of a wide pool idle after paying its startup."""
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                                 columns=columns)
+                                 columns=columns,
+                                 override_num_blocks=num_blocks)
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -391,17 +397,19 @@ def _tag_documents(sf_dir: str) -> ray.data.Dataset:
     """Full inference chain (predict → validators → coalesce → DSL groups) with the
     injectable regex tagger, over the documents table (the processor_test.go:18-114
     dataflow pattern, distributed)."""
-    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    # leave headroom for the read/explode tasks so a small (test) cluster can't
+    # starve: the actor pool reserves all but 2 CPUs (the dominant stage should
+    # own the cluster — a fixed cap of 8 left 22 CPUs idle on the 32-CPU bench);
+    # the read is cut to 4 waves of the pool so block count, which bounds
+    # map_batches parallelism, never idles the pool
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    conc = max(1, n_cpus - 2)
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"], num_blocks=4 * conc)
 
     def to_pages(batch: pa.Table) -> pa.Table:
         return pa.table({"url": pc.cast(batch["doc_id"], pa.string()),
                          "text": batch["text"]})
 
-    # leave headroom for the read/explode tasks so a small (test) cluster can't
-    # starve: the actor pool reserves all but 2 CPUs (the dominant stage should
-    # own the cluster — a fixed cap of 8 left 22 CPUs idle on the 32-CPU bench)
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    conc = max(1, n_cpus - 2)
     return ds.map_batches(to_pages, batch_format="pyarrow").map_batches(
         TagDocs,
         fn_constructor_kwargs=dict(model_type="regex",
@@ -475,13 +483,14 @@ def q_preview(sf_dir: str):
     tokens re-tagged; emits per-doc preview-token and tagged-token counts."""
     from ..ops.preview import PreviewDocs
 
-    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"],
+              num_blocks=4 * max(1, n_cpus - 2))
 
     def to_pages(batch: pa.Table) -> pa.Table:
         return pa.table({"url": pc.cast(batch["doc_id"], pa.string()),
                          "text": batch["text"]})
 
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
     prev = ds.map_batches(to_pages, batch_format="pyarrow").map_batches(
         PreviewDocs,
         fn_constructor_kwargs=dict(model_type="regex",
