@@ -79,14 +79,33 @@ def main() -> None:
     from ner_backend_ray.fixtures.pages import pages_fixture_dir, rows_for_sf
     pages_fixture_dir(sf)
     n_docs = min(rows_for_sf(sf), 240_000)
-    narrow = leg(6, n_docs, sf)
-    wide = leg(30, n_docs, sf)
-    ratio = narrow["docs_per_s_per_worker"] / wide["docs_per_s_per_worker"]
+    # the control is as steal-sensitive as the thing it controls for: retry
+    # each leg until it measures under the gate (keep the best attempt
+    # otherwise, flagged), like bench.py --scaling
+    gate = float(os.environ.get("SCALING_STEAL_MAX", "2.0"))
+    attempts_max = int(os.environ.get("HW_CONTROL_ATTEMPTS", "5"))
+    legs: dict[int, dict] = {}
+    attempts: dict[int, list[dict]] = {6: [], 30: []}
+    for procs in (6, 30):
+        best = None
+        for _ in range(attempts_max):
+            rec = leg(procs, n_docs, sf)
+            attempts[procs].append(rec)
+            if best is None or rec["steal_pct"] < best["steal_pct"]:
+                best = rec
+            if rec["steal_pct"] <= gate:
+                break
+        legs[procs] = best
+    ratio = legs[6]["docs_per_s_per_worker"] / legs[30]["docs_per_s_per_worker"]
     print(json.dumps({
         "metric": "per-core throughput ratio, 6 vs 30 busy cores (no Ray)",
         "value": round(ratio, 3),
         "unit": "x",
-        "narrow": narrow, "wide": wide, "sf": sf, "n_docs": n_docs,
+        "narrow": legs[6], "wide": legs[30],
+        "gated": legs[6]["steal_pct"] <= gate and legs[30]["steal_pct"] <= gate,
+        "steal_gate_pct": gate,
+        "attempts": {str(k): v for k, v in attempts.items()},
+        "sf": sf, "n_docs": n_docs,
         "note": "single-box memory-bandwidth/turbo term absent from real "
                 "N->4N multi-node scaling; see BASELINE.md",
     }))
