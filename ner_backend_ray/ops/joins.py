@@ -15,11 +15,76 @@ The reference has no dataflow joins (its joins are SQL-side); at Ray scale we ne
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
+
+# On-disk parquet bytes under which a dimension table is broadcast (ray.put
+# once, read per task); above it the planner routes through bucket_hash_join.
+# Parquet compresses ~3-5× vs heap, so 64 MiB on disk is a few hundred MB in
+# every actor heap — about the ceiling a per-worker lookup side should take.
+# TPC-H dimension tables GROW with sf: at sf100 customer.parquet is multi-GB
+# and an unconditional broadcast is a driver-memory wall (round-3 verdict).
+_BROADCAST_BUDGET_BYTES = 64 << 20
+
+
+def broadcast_budget() -> int:
+    """Byte budget for the broadcast side; GRAFT_BROADCAST_BUDGET_BYTES
+    overrides (tests force 0 to exercise the large-dim join path)."""
+    return int(os.environ.get("GRAFT_BROADCAST_BUDGET_BYTES",
+                              _BROADCAST_BUDGET_BYTES))
+
+
+def parquet_bytes(path: str) -> int:
+    """On-disk bytes of a parquet file or directory — the size signal the
+    planner gates on (metadata-only; nothing is read)."""
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(root, f))
+                   for root, _, files in os.walk(path) for f in files)
+    return os.path.getsize(path)
+
+
+def buckets_for(n_bytes: int, target_bucket_bytes: int = 256 << 20) -> int:
+    """bucket_hash_join bucket count sized to the DATA: at least one bucket
+    per cluster core (so the per-bucket reduce can use the whole cluster) and
+    at least one per ~target_bucket_bytes of expanded input (parquet ~4×
+    decompressed), so one bucket's rows always fit a worker. Replaces the
+    fixed n_buckets=32 that capped reduce parallelism at 100× scale."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(16, cpus, -(-(n_bytes * 4) // target_bucket_bytes))
+
+
+def gated_dim_join(left: ray.data.Dataset, dim_path: str, key: str,
+                   columns: list[str], rename: list[str] | None = None,
+                   how: str = "inner", left_bytes: int = 0) -> ray.data.Dataset:
+    """The size-gated small-side join strategy (the planner rule the round-3
+    verdict asked for): broadcast the dimension parquet when it is under
+    :func:`broadcast_budget` on disk, else read it as a Dataset and run the
+    partitioned :func:`bucket_hash_join`. ``rename`` maps the dim columns onto
+    the left's key/name space; ``left_bytes`` (optional) lets the caller pass
+    the fact side's on-disk size so the bucket count tracks the bigger side."""
+    n_bytes = parquet_bytes(dim_path)
+    if n_bytes <= broadcast_budget():
+        t = pq.read_table(dim_path, columns=columns)
+        if rename:
+            t = t.rename_columns(rename)
+        return broadcast_join(left, t, key, how=how)
+    dim = ray.data.read_parquet(dim_path, columns=columns)
+    if rename:
+        ren = list(rename)
+        dim = dim.map_batches(lambda b: b.rename_columns(ren),
+                              batch_format="pyarrow")
+    return bucket_hash_join(left, dim, key,
+                            n_buckets=buckets_for(max(n_bytes, left_bytes)),
+                            how=how)
 
 
 def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:

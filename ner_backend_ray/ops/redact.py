@@ -43,6 +43,32 @@ def redact_text(text: bytes, entities: list[dict],
     return out.decode("utf-8", "ignore"), assigned
 
 
+class RedactDocs:
+    """Actor-pool stage: (id, text) → (id, redacted). The tagger loads ONCE per
+    actor in ``__init__`` (the TagDocs/PreviewDocs pattern) — never inside the
+    per-batch function, where it would recompile the pattern bank every batch."""
+
+    def __init__(self, model_type: str = "regex",
+                 model_kwargs: dict | None = None, text_column: str = "text",
+                 id_column: str = "doc_id"):
+        from ..models import load_tagger
+        self.model = load_tagger(model_type, **(model_kwargs or {}))
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[self.text_column].to_pylist():
+            b = t.encode("utf-8")
+            ents = [{"start": e.start, "end": e.end, "label": e.label,
+                     "text": e.text.decode("utf-8", "ignore")}
+                    for e in self.model.predict(b)]
+            red, _ = redact_text(b, ents)
+            out.append(red)
+        return pa.table({self.id_column: batch[self.id_column],
+                         "redacted": pa.array(out, pa.string())})
+
+
 def redact_docs_batch(batch: pa.Table, text_col: str = "html") -> pa.Table:
     """Stateless map_batches over the tagged per-doc table (url, html/text,
     mentions list<struct>) → (url, redacted)."""

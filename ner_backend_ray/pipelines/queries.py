@@ -36,7 +36,8 @@ from ..oracle import KGConfig
 from ..ops.ann import brute_force_topk, lsh_topk
 from ..ops.dedup import (dedup_exact, dedup_minhash_lsh, embedding_near_dups,
                          simhash_near_dups)
-from ..ops.joins import broadcast_join, bucket_hash_join
+from ..ops.joins import (broadcast_join, bucket_hash_join, buckets_for,
+                         gated_dim_join, parquet_bytes)
 from ..ops.textstats import fingerprint_batch, quality_features
 from ..ops.window import session_windows, tumbling_window
 from ..stages.tag import TagDocs, explode_groups, explode_mentions
@@ -166,43 +167,41 @@ def q_sliding_window(sf_dir: str):
 
 
 def q_topk_per_group(sf_dir: str):
-    """Top-3 orders by totalprice per market segment: per-batch local top-k
+    """Top-3 orders by totalprice per market segment: size-gated dimension
+    join (broadcast under the byte budget, partitioned bucket hash join above
+    — the planner rule, ops/joins.py::gated_dim_join) → per-batch local top-k
     combiner (only k·segments rows reach the shuffle) → map_groups final
     top-k. The grouped-ordered-analytics shape (SQL row_number() ≤ k)."""
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
-                       cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_map)
     orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = gated_dim_join(
+        orders, os.path.join(sf_dir, "customer.parquet"), key="o_custkey",
+        columns=["c_custkey", "c_mktsegment"],
+        rename=["o_custkey", "c_mktsegment"],
+        left_bytes=parquet_bytes(os.path.join(sf_dir, "orders.parquet")))
     K = 3
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        t = pa.table({
-            "c_mktsegment": pa.array([seg[k] for k in
-                                      batch["o_custkey"].to_pylist()], pa.string()),
-            "o_orderkey": batch["o_orderkey"],
-            "o_totalprice": batch["o_totalprice"],
-        })
+        t = batch.select(["c_mktsegment", "o_orderkey", "o_totalprice"])
+        if t.num_rows == 0:
+            return t
         idx = pc.sort_indices(t, sort_keys=[("c_mktsegment", "ascending"),
                                             ("o_totalprice", "descending"),
                                             ("o_orderkey", "ascending")])
         t = t.take(idx)
-        keep, counts = [], {}
-        for i, s in enumerate(t["c_mktsegment"].to_pylist()):
-            c = counts.get(s, 0)
-            if c < K:
-                keep.append(i)
-                counts[s] = c + 1
-        return t.take(pa.array(keep, pa.int64()))
+        # vectorized rank-within-segment over the sorted rows (no row loop)
+        segs = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(segs), dtype=bool)
+        new[1:] = segs[1:] != segs[:-1]
+        starts = np.flatnonzero(new).astype(np.int32)
+        rank = np.arange(len(segs), dtype=np.int32) - starts[np.cumsum(new) - 1]
+        return t.filter(pa.array(rank < K))
 
     def final_topk(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group, sort_keys=[("o_totalprice", "descending"),
                                                 ("o_orderkey", "ascending")])
         return group.take(idx[:K])
 
-    return (orders.map_batches(local_topk, batch_format="pyarrow")
+    return (joined.map_batches(local_topk, batch_format="pyarrow")
             .groupby("c_mktsegment")
             .map_groups(final_topk, batch_format="pyarrow"))
 
@@ -237,62 +236,71 @@ def q_events_json(sf_dir: str):
 
 
 def q_join_orders_customer(sf_dir: str):
-    """Broadcast join (small side ray.put once): orders ⋈ customer."""
+    """Size-gated join: broadcast (small side ray.put once) under the byte
+    budget, partitioned bucket hash join above it: orders ⋈ customer."""
     left = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    right = (pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                           columns=["c_custkey", "c_name"])
-             .rename_columns(["o_custkey", "c_name"]))
-    return broadcast_join(left, right, "o_custkey")
+    return gated_dim_join(
+        left, os.path.join(sf_dir, "customer.parquet"), key="o_custkey",
+        columns=["c_custkey", "c_name"], rename=["o_custkey", "c_name"],
+        left_bytes=parquet_bytes(os.path.join(sf_dir, "orders.parquet")))
 
 
 def q_join_lineitem_part(sf_dir: str):
-    """Partitioned bucket hash join (both sides large): lineitem ⋈ part."""
+    """Partitioned bucket hash join (both sides large): lineitem ⋈ part.
+    Bucket count tracks data size + cluster width (ops/joins.py::buckets_for),
+    not a fixed constant."""
     left = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     right = _tbl(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
         lambda b: b.rename_columns(["l_partkey", "p_name", "p_retailprice"]),
         batch_format="pyarrow")
-    return bucket_hash_join(left, right, "l_partkey", n_buckets=32)
+    n_bytes = (parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))
+               + parquet_bytes(os.path.join(sf_dir, "part.parquet")))
+    return bucket_hash_join(left, right, "l_partkey",
+                            n_buckets=buckets_for(n_bytes))
 
 
 def q_regional_revenue(sf_dir: str):
     """TPC-H-Q5-shaped multi-way join: lineitem ⋈ orders (both large →
-    partitioned bucket hash join) with customer/supplier/nation/region as
-    broadcast lookups (ray.put once, read per batch), local-supplier predicate
-    (c_nationkey = s_nationkey), combiner partials before the final groupby.
-    The canonical join-composition pattern for the star-schema shape at scale:
-    ONE big-big shuffle, every small side broadcast."""
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
-    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                         columns=["s_suppkey", "s_nationkey"])
+    partitioned bucket hash join sized to the data), customer/supplier through
+    the SIZE-GATED planner rule (broadcast under the byte budget, bucket hash
+    join above — they grow with sf, so an unconditional broadcast is a
+    driver-memory wall at 100×), nation/region as broadcast dicts (constant
+    25/5 rows by TPC-H spec), local-supplier predicate (c_nationkey =
+    s_nationkey), combiner partials before the final groupby."""
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
-    cust_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
-    supp_map = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()))
     nation_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
     region_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
     region_name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
-    small_ref = ray.put((cust_map, supp_map, nation_name, region_of, region_name))
+    small_ref = ray.put((nation_name, region_of, region_name))
 
+    line_bytes = parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))
     orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow")
     line = _tbl(sf_dir, "lineitem",
                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    joined = bucket_hash_join(line, orders, "l_orderkey", n_buckets=32)
+    joined = bucket_hash_join(line, orders, "l_orderkey",
+                              n_buckets=buckets_for(line_bytes))
+    joined = gated_dim_join(
+        joined, os.path.join(sf_dir, "customer.parquet"), key="o_custkey",
+        columns=["c_custkey", "c_nationkey"], rename=["o_custkey", "c_nationkey"],
+        left_bytes=line_bytes)
+    joined = gated_dim_join(
+        joined, os.path.join(sf_dir, "supplier.parquet"), key="l_suppkey",
+        columns=["s_suppkey", "s_nationkey"], rename=["l_suppkey", "s_nationkey"],
+        left_bytes=line_bytes)
 
     def partial(batch: pa.Table) -> pa.Table:
-        cust_m, supp_m, nat_name, reg_of, reg_name = ray.get(small_ref)
-        c_nat = np.array([cust_m[k] for k in batch["o_custkey"].to_pylist()])
-        s_nat = np.array([supp_m[k] for k in batch["l_suppkey"].to_pylist()])
-        keep = c_nat == s_nat  # Q5 local-supplier predicate
-        if not keep.any():
+        nat_name, reg_of, reg_name = ray.get(small_ref)
+        keep = pc.equal(batch["c_nationkey"], batch["s_nationkey"])
+        sub = batch.filter(keep)  # Q5 local-supplier predicate
+        if sub.num_rows == 0:
             return pa.table({"r_name": pa.array([], pa.string()),
                              "n_name": pa.array([], pa.string()),
                              "prev": pa.array([], pa.int64()),
                              "pn": pa.array([], pa.int64())})
-        sub = batch.filter(pa.array(keep))
-        nk = c_nat[keep]
+        nk = sub["c_nationkey"].to_pylist()
         rev = _cents(pc.multiply(sub["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), sub["l_discount"])))
         t = pa.table({
@@ -514,26 +522,20 @@ def q_preview(sf_dir: str):
 
 def q_redacted_docs(sf_dir: str):
     """Redaction (internal/chat/session.go:67-107): stable [LABEL_n] placeholders
-    per distinct (surface, label); single-surface patterns make it SQL-mirrorable."""
-    from ..models import load_tagger
-    from ..ops.redact import redact_text
+    per distinct (surface, label); single-surface patterns make it SQL-mirrorable.
+    Actor-pool stage — the tagger compiles once per actor, not once per batch."""
+    from ..ops.redact import RedactDocs
 
-    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
-
-    def f(batch: pa.Table) -> pa.Table:
-        m = load_tagger("regex", patterns=_WORD_PATTERNS)
-        out = []
-        for t in batch["text"].to_pylist():
-            b = t.encode("utf-8")
-            ents = [{"start": e.start, "end": e.end, "label": e.label,
-                     "text": e.text.decode("utf-8", "ignore")}
-                    for e in m.predict(b)]
-            red, _ = redact_text(b, ents)
-            out.append(red)
-        return pa.table({"doc_id": batch["doc_id"],
-                         "redacted": pa.array(out, pa.string())})
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    pool = max(1, n_cpus - 2)
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"], num_blocks=4 * pool)
+    return ds.map_batches(
+        RedactDocs,
+        fn_constructor_kwargs=dict(model_type="regex",
+                                   model_kwargs={"patterns": _WORD_PATTERNS},
+                                   text_column="text", id_column="doc_id"),
+        batch_size=256, batch_format="pyarrow",
+        concurrency=pool, num_cpus=1)
 
 
 # --------------------------------------------------------------------------

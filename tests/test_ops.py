@@ -173,6 +173,44 @@ def test_broadcast_and_bucket_join_agree(ray_session):
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_gated_dim_join_size_switch(ray_session, monkeypatch):
+    """The size-gated planner rule (round-3 verdict item 1): with the budget
+    forced to 0 every dimension table routes through bucket_hash_join, and the
+    result is identical to the broadcast path."""
+    from ner_backend_ray.pipelines.queries import (q_regional_revenue,
+                                                   q_topk_per_group)
+
+    def run(name, fn):
+        out = fn(SF_DIR)
+        d = out.to_pandas() if hasattr(out, "to_pandas") else out.to_pandas()
+        return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+    monkeypatch.delenv("GRAFT_BROADCAST_BUDGET_BYTES", raising=False)
+    bc_topk = run("topk", q_topk_per_group)
+    bc_rev = run("rev", q_regional_revenue)
+    monkeypatch.setenv("GRAFT_BROADCAST_BUDGET_BYTES", "0")
+    pd.testing.assert_frame_equal(run("topk", q_topk_per_group), bc_topk,
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(run("rev", q_regional_revenue), bc_rev,
+                                  check_dtype=False)
+
+
+def test_char_gram_matrix_matches_sets():
+    """The vectorized shingle-matrix kernel (round-3 verdict item 4) is an
+    exact stand-in for per-rep char_ngram_set comparisons."""
+    import numpy as np
+    from ner_backend_ray.ops.dedup import char_gram_matrix, char_ngram_set
+    texts = ["", "a", "abc", "the quick brown fox", "the quick brown fix",
+             "héllo wörld", "日本語テスト", "abc" * 50]
+    m, sizes = char_gram_matrix(texts, 3)
+    for i, t in enumerate(texts):
+        assert sizes[i] == len(char_ngram_set(t, 3))
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            want = len(char_ngram_set(texts[i], 3) & char_ngram_set(texts[j], 3))
+            assert int(m[i] @ m[j]) == want
+
+
 def test_tumbling_window_matches_pandas(ray_session):
     import ray.data
     from ner_backend_ray.ops.window import tumbling_window
