@@ -26,6 +26,8 @@ fine, since the caller's broadcast map holds C entries regardless.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -211,12 +213,50 @@ def resolve_roots_budgeted(pairs: ray.data.Dataset, a_col: str = "a",
     final star edges — one per clustered node, the same cardinality as the map
     being returned — reach the driver. Pair count and fallbacks are recorded in
     the metrics actor."""
+    out = resolve_roots_or_stars(pairs, a_col, b_col, budget=budget,
+                                 star_budget=None)
+    assert isinstance(out, dict)
+    return out
+
+
+# Star-forest entry count above which the root map is NOT collected to the
+# driver: at ~10⁹ clustered nodes the dict is tens of GB on the driver and in
+# every actor heap (round-3 verdict item 2). Above it the caller gets the star
+# forest as a Dataset and applies roots via a bucket hash join.
+_ROOTMAP_BROADCAST_BUDGET = 5_000_000
+
+
+def rootmap_broadcast_budget() -> int:
+    """Entry budget for driver-collected root maps; GRAFT_ROOTMAP_BROADCAST_BUDGET
+    overrides (tests force 0 to exercise the Dataset-join application path)."""
+    return int(os.environ.get("GRAFT_ROOTMAP_BROADCAST_BUDGET",
+                              _ROOTMAP_BROADCAST_BUDGET))
+
+
+def resolve_roots_or_stars(pairs: ray.data.Dataset, a_col: str = "a",
+                           b_col: str = "b", budget: int = 500_000,
+                           star_budget: int | None = -1
+                           ) -> dict | ray.data.Dataset:
+    """Root resolution that never materializes an over-budget map on the
+    driver. Under ``budget`` pairs: driver union-find → dict (as
+    :func:`resolve_roots_budgeted`). Over it: distributed CC; if the resulting
+    star forest has ≤ ``star_budget`` entries (default
+    :func:`rootmap_broadcast_budget`; pass None to always collect) it is
+    collected to a dict, else it is RETURNED AS A (node, root) DATASET for the
+    caller to apply via bucket hash join — the last driver-side
+    materialization proportional to corpus-distinct entities, removed."""
+    if star_budget == -1:
+        star_budget = rootmap_broadcast_budget()
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     incr_metric("near_dup_pairs_total", n_pairs)
-    if n_pairs <= budget:
+    if n_pairs <= budget and (star_budget is None
+                              or 2 * n_pairs <= star_budget):
         rows = pairs.take_all()
         return union_find([(r[a_col], r[b_col]) for r in rows])
     incr_metric("cc_distributed_fallbacks")
-    stars = connected_components(pairs, a_col, b_col)
-    return {r["node"]: r["root"] for r in stars.take_all()}
+    stars = connected_components(pairs, a_col, b_col).materialize()
+    if star_budget is None or stars.count() <= star_budget:
+        return {r["node"]: r["root"] for r in stars.take_all()}
+    incr_metric("rootmap_dataset_fallbacks")
+    return stars

@@ -167,14 +167,43 @@ def _linked_triples(docs: ray.data.Dataset, cfg: KGConfig, alias_path: str) -> r
     return docs.map_batches(explode_triples, batch_format="pyarrow")
 
 
-def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
+def _cid_array(keys: list[str], roots: list[str | None]) -> pa.Array:
+    """canonical_id(root-or-self) per row, memoized over the batch's distinct
+    keys (few per batch — inputs are distinct-key tables)."""
+    memo: dict[str, str] = {}
+    out = []
+    for k, r in zip(keys, roots):
+        kk = k if r is None else r
+        c = memo.get(kk)
+        if c is None:
+            c = canonical_id(kk)
+            memo[kk] = c
+        out.append(c)
+    return pa.array(out, pa.string())
+
+
+def _join_star_roots(ds: ray.data.Dataset, key_col: str,
+                     stars: ray.data.Dataset, out_col: str) -> ray.data.Dataset:
+    """LEFT bucket-hash-join ``ds`` with the star forest (node, root),
+    appending ``out_col`` (null for unclustered keys). The Dataset-native
+    root-map application for over-budget canonicalization: nothing
+    proportional to corpus-distinct entities touches the driver."""
+    from ..ops.joins import bucket_hash_join
+    renamed = stars.map_batches(
+        lambda b: b.rename_columns([key_col, out_col]), batch_format="pyarrow")
+    return bucket_hash_join(ds, renamed, key_col,
+                            n_buckets=max(16, _cluster_cpus()), how="left")
+
+
+def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str] | ray.data.Dataset:
     """MinHash-LSH clustering of unlinked surface keys. The resulting root map
-    covers only keys that actually cluster and is broadcast (ray.put), never
-    joined. Pair resolution is budget-guarded: under _CC_BUDGET pairs the edge
-    list union-finds on the driver; above it (template-heavy corpora) it runs
-    distributed connected components and only the final star edges — the same
-    cardinality as the map itself — reach the driver."""
-    from ..ops.cc import resolve_roots_budgeted
+    covers only keys that actually cluster; under the broadcast budget it is a
+    driver dict (ray.put, never joined), above it a (node, root) star-forest
+    Dataset the graph phase applies via bucket hash join. Pair resolution is
+    budget-guarded: under _CC_BUDGET pairs the edge list union-finds on the
+    driver; above it (template-heavy corpora) it runs distributed connected
+    components."""
+    from ..ops.cc import resolve_roots_or_stars
 
     def band_rows(batch: pa.Table) -> pa.Table:
         keys = [k for k in batch["entity_key"].to_pylist()
@@ -192,14 +221,16 @@ def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str]:
              .repartition(_compact_small())
              .groupby(["band", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pyarrow"))
-    return resolve_roots_budgeted(pairs, "entity_key", "root", budget=_CC_BUDGET)
+    return resolve_roots_or_stars(pairs, "entity_key", "root", budget=_CC_BUDGET)
 
 
 def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(linked mentions, linked triples) → (nodes, edges), both sorted.
 
     shuffle #1: canonicalization groupby over combiner partials;
-    shuffle #2 avoided: the cluster root map is broadcast (ray.put), not joined;
+    shuffle #2: the cluster root map is broadcast (ray.put) under the budget —
+    no shuffle — and applied via bucket hash join above it (star forests
+    proportional to corpus-distinct entities never land on the driver);
     shuffle #3: edge dedup groupby over combiner partials."""
     # compact the (small) combiner partials to a handful of blocks before the
     # sort shuffle: Ray's sort partitions = input blocks, so B upstream blocks
@@ -214,13 +245,24 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
     # count tracks the data, not the upstream block count
     nodes_pre = nodes_pre.repartition(_compact_small()).materialize()
 
-    root_map_ref = ray.put(build_root_map(nodes_pre))
+    root_map = build_root_map(nodes_pre)
+    use_star_join = isinstance(root_map, ray.data.Dataset)
+    if use_star_join:
+        stars = root_map.materialize()  # consumed by 3 joins (nodes, subj, obj)
+        root_map_ref = None
+    else:
+        root_map_ref = ray.put(root_map)
 
     def apply_roots_nodes(batch: pa.Table) -> pa.Table:
         root_map = ray.get(root_map_ref)
         cids = [canonical_id(root_map.get(k, k))
                 for k in batch["entity_key"].to_pylist()]
         return batch.append_column("canonical_id", pa.array(cids, pa.string()))
+
+    def cid_from_join(batch: pa.Table) -> pa.Table:
+        cid = _cid_array(batch["entity_key"].to_pylist(),
+                         batch["__root"].to_pylist())
+        return batch.drop_columns(["__root"]).append_column("canonical_id", cid)
 
     def merge_node_group(group: pa.Table) -> pa.Table:
         cid = group["canonical_id"][0].as_py()
@@ -245,7 +287,8 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
     # globally ordered by canonical_id — no extra sort() shuffle needed
     # (asserted by tests/test_pipeline_ray.py::test_graph_outputs_sorted)
     nodes = (nodes_pre
-             .map_batches(apply_roots_nodes, batch_format="pyarrow")
+             .map_batches(cid_from_join if use_star_join else apply_roots_nodes,
+                          batch_format="pyarrow")
              .groupby("canonical_id")
              .map_groups(merge_node_group, batch_format="pyarrow"))
 
@@ -266,8 +309,32 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
         return agg.rename_columns(["subj_id", "pred", "obj_id", "partial_weight"])
 
     from ray.data.aggregate import Sum
-    edges = (triples
-             .map_batches(partial_edge_counts, batch_format="pyarrow")
+    if use_star_join:
+        # over-budget path: combiner over RAW keys (no broadcast state), then
+        # two star-forest joins apply the roots distributively
+        raw = triples.map_batches(_edge_key_partials, batch_format="pyarrow")
+        j = _join_star_roots(raw, "subj_key", stars, "__sr")
+        j = _join_star_roots(j, "obj_key", stars, "__or")
+
+        def canon_joined(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "subj_id": _cid_array(batch["subj_key"].to_pylist(),
+                                      batch["__sr"].to_pylist()),
+                "pred": batch["pred"],
+                "obj_id": _cid_array(batch["obj_key"].to_pylist(),
+                                     batch["__or"].to_pylist()),
+                "partial_weight": batch["partial_weight"],
+            })
+            agg = (t.group_by(["subj_id", "pred", "obj_id"])
+                   .aggregate([("partial_weight", "sum")]))
+            return agg.rename_columns(["subj_id", "pred", "obj_id",
+                                       "partial_weight"])
+
+        partials = j.map_batches(canon_joined, batch_format="pyarrow")
+    else:
+        partials = triples.map_batches(partial_edge_counts,
+                                       batch_format="pyarrow")
+    edges = (partials
              .repartition(_compact_wide())  # compact partials → bounded sort-shuffle fan-out
              .groupby(["subj_id", "pred", "obj_id"])
              .aggregate(Sum("partial_weight", alias_name="weight")))
@@ -354,14 +421,16 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
                          "band": pa.array(bands.ravel(), pa.int32()),
                          "band_hash": pa.array(hashes.ravel(), pa.int64())})
 
-    def root_map_from_docs() -> dict[str, str]:
-        from ..ops.cc import resolve_roots_budgeted
+    def root_map_from_docs() -> dict[str, str] | ray.data.Dataset:
+        """dict under the broadcast budget; above it a (node, root) star-forest
+        Dataset applied via bucket hash join (the graph phase branches)."""
+        from ..ops.cc import resolve_roots_or_stars
         pairs = (docs
                  .map_batches(band_rows_from_docs, batch_format="pyarrow")
                  .repartition(_compact_small())
                  .groupby(["band", "band_hash"])
                  .map_groups(bucket_pairs, batch_format="pyarrow"))
-        return resolve_roots_budgeted(pairs, "entity_key", "root",
+        return resolve_roots_or_stars(pairs, "entity_key", "root",
                                       budget=_CC_BUDGET)
 
     def node_partials_from_docs(batch: pa.Table) -> pa.Table:
@@ -440,7 +509,13 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
                      .map_groups(sum_bucket_raw, batch_format="pyarrow")
                      .materialize()))
 
-        root_map_ref = ray.put(f_root_map.result())
+        root_map = f_root_map.result()
+        use_star_join = isinstance(root_map, ray.data.Dataset)
+        if use_star_join:
+            stars = root_map.materialize()  # consumed by 3 joins
+            root_map_ref = None
+        else:
+            root_map_ref = ray.put(root_map)
         nodes_pre = f_nodes_pre.result()
 
         def apply_roots_nodes(batch: pa.Table) -> pa.Table:
@@ -450,10 +525,22 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             return batch.append_column("canonical_id",
                                        pa.array(cids, pa.string()))
 
+        def cid_from_join(batch: pa.Table) -> pa.Table:
+            cid = _cid_array(batch["entity_key"].to_pylist(),
+                             batch["__root"].to_pylist())
+            return (batch.drop_columns(["__root"])
+                    .append_column("canonical_id", cid))
+
         # groupby's range-partitioned sort shuffle leaves output globally
         # key-ordered, so no separate sort() pass
         # (tests/test_pipeline_ray.py asserts this)
-        keyed = nodes_pre.map_batches(apply_roots_nodes, batch_format="pyarrow")
+        if use_star_join:
+            keyed = _join_star_roots(nodes_pre, "entity_key", stars,
+                                     "__root").map_batches(
+                cid_from_join, batch_format="pyarrow")
+        else:
+            keyed = nodes_pre.map_batches(apply_roots_nodes,
+                                          batch_format="pyarrow")
         nodes_chain = (keyed
                        .groupby("canonical_id")
                        .map_groups(_merge_node_group, batch_format="pyarrow"))
@@ -502,10 +589,41 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
         # have been materializing concurrently with the root map since phase
         # start); only the small canonical re-aggregation + sort remain on the
         # root-map-dependent tail
+        def canonicalize_edge_partials_joined(batch: pa.Table) -> pa.Table:
+            """Star-join twin of canonicalize_edge_partials: roots arrive as
+            join columns (__sr/__or, null = unclustered) instead of a
+            broadcast dict."""
+            subj = _cid_array(batch["subj_key"].to_pylist(),
+                              batch["__sr"].to_pylist())
+            obj = _cid_array(batch["obj_key"].to_pylist(),
+                             batch["__or"].to_pylist())
+            key = pc.binary_join_element_wise(
+                subj, batch["pred"].combine_chunks()
+                if isinstance(batch["pred"], pa.ChunkedArray)
+                else batch["pred"], obj, "\x1f")
+            t = pa.table({
+                "bucket": _bucket_hash(key, n_edge_buckets),
+                "subj_id": subj,
+                "pred": batch["pred"],
+                "obj_id": obj,
+                "partial_weight": batch["partial_weight"],
+            })
+            agg = t.group_by(["bucket", "subj_id", "pred", "obj_id"]).aggregate(
+                [("partial_weight", "sum")])
+            return agg.rename_columns(["bucket", "subj_id", "pred", "obj_id",
+                                       "partial_weight"])
+
         def edges_run():
-            edges_chain = (f_edges_raw.result()
-                           .map_batches(canonicalize_edge_partials,
+            raw = f_edges_raw.result()
+            if use_star_join:
+                j = _join_star_roots(raw, "subj_key", stars, "__sr")
+                j = _join_star_roots(j, "obj_key", stars, "__or")
+                canon = j.map_batches(canonicalize_edge_partials_joined,
+                                      batch_format="pyarrow")
+            else:
+                canon = raw.map_batches(canonicalize_edge_partials,
                                         batch_format="pyarrow")
+            edges_chain = (canon
                            .repartition(_compact_small())
                            .groupby("bucket")
                            .map_groups(sum_bucket, batch_format="pyarrow")

@@ -65,6 +65,41 @@ def test_streaming_pipeline_matches_oracle(ray_session, tiny_fixture, oracle_res
     assert ekeys == sorted(ekeys)
 
 
+def test_star_join_root_map_matches_broadcast(ray_session, tiny_fixture,
+                                              oracle_result, monkeypatch):
+    """Dataset-native root-map application (round-3 verdict item 2): with the
+    broadcast budget forced to 0 the root map stays a (node, root) Dataset and
+    is applied via bucket hash joins — nodes/edges must equal the oracle
+    exactly, same as the broadcast path."""
+    from ner_backend_ray.oracle import KGConfig
+    from ner_backend_ray.pipelines.kg import kg_tables, read_pages, tag_pages
+
+    monkeypatch.setenv("GRAFT_ROOTMAP_BROADCAST_BUDGET", "0")
+    cfg = KGConfig(tag_concurrency=2, link_concurrency=2)
+    docs = tag_pages(read_pages(tiny_fixture), cfg, tiny_fixture).materialize()
+    tables = kg_tables(docs, cfg, tiny_fixture)
+
+    got_n = _collect(tables["nodes"])
+    want_n = oracle_result["nodes"]
+    assert got_n.num_rows == want_n.num_rows
+    assert got_n.sort_by("canonical_id").select(
+        ["canonical_id", "label", "mention_count"]).equals(
+        want_n.select(["canonical_id", "label", "mention_count"]))
+    got_e = _collect(tables["edges"])
+    ecols = ["subj_id", "pred", "obj_id", "weight"]
+    assert _table_key_set(got_e, ecols) == _table_key_set(
+        oracle_result["edges"], ecols)
+
+    # build_graph (the checkpointed phase-2 entry) takes the same branch
+    from ner_backend_ray.pipelines.kg import build_graph
+    nodes2, edges2 = build_graph(
+        tables["mentions"].select_columns(["entity_key", "label", "text"]),
+        tables["triples"].select_columns(["subj_key", "pred", "obj_key"]))
+    got_e2 = _collect(edges2)
+    assert _table_key_set(got_e2, ecols) == _table_key_set(
+        oracle_result["edges"], ecols)
+
+
 def test_extract_invariant_detects_mismatch(ray_session, tiny_fixture):
     from ner_backend_ray.stages.extract import extract_text_batch
     pages = pq.read_table(sorted(glob.glob(tiny_fixture + "/pages/part-*.parquet"))[0])
