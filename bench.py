@@ -224,7 +224,9 @@ def run_scaling() -> dict:
     return {
         "metric": f"KG flagship scaling efficiency (num_cpus={lo} vs {hi}, "
                   "fresh processes, same input; median of steal-gated paired "
-                  "ratios)",
+                  "ratios; sf/leg defaults were chosen AFTER the round-3 "
+                  "decomposition — sf0.8 amortizes the fixed driver cost — "
+                  "see BASELINE.md for the raw batches incl. failing configs)",
         "value": round(median_eff, 3),
         "unit": "efficiency",
         "legs": [lo, hi],

@@ -68,7 +68,11 @@ def leg(procs: int, n_docs: int, sf: float) -> dict:
         inner = pool.map(_worker, spans)
         s1 = _steal()
     per_worker = sum(inner) / len(inner)
-    docs_per_s_worker = chunk / per_worker
+    # total actual docs / total worker-seconds: the last span is short when
+    # procs doesn't divide n_docs, so chunk/mean would overstate throughput
+    # by a different amount at each worker count and bias the leg ratio
+    actual_docs = sum(hi - lo for lo, hi, _ in spans)
+    docs_per_s_worker = actual_docs / max(1e-9, sum(inner))
     return {"procs": procs, "inner_mean_s": round(per_worker, 2),
             "docs_per_s_per_worker": round(docs_per_s_worker, 1),
             "steal_pct": round(100.0 * (s1[1] - s0[1]) / max(1, s1[0] - s0[0]), 2)}

@@ -115,8 +115,10 @@ def _shard_pass(model_ref, lr: float):
             if np.any(d):
                 buckets.append(b)
                 deltas.append(d.tolist())
+        shard = int(group["shard"][0].as_py()) if group.num_rows else -1
         return pa.table({
             "bucket": pa.array(buckets, pa.int64()),
+            "shard": pa.array([shard] * len(buckets), pa.int32()),
             "delta": pa.array(deltas, pa.list_(pa.float32())),
             "errors": pa.array([errors] + [0] * (len(buckets) - 1), pa.int64()),
         })
@@ -151,16 +153,20 @@ def finetune_perceptron_ipm(model: HashEmbeddingTagger,
         errors = sum(r["errors"] for r in rows)
         # uniform mixing: mean of per-shard deltas per bucket (buckets a shard
         # didn't touch contribute implicit zeros, divisor = shard count —
-        # the w_mix = Σ μ_i w_i of the paper with μ_i = 1/S)
-        mixed: dict[int, np.ndarray] = {}
-        for r in rows:
+        # the w_mix = Σ μ_i w_i of the paper with μ_i = 1/S). Accumulation is
+        # float64 in (bucket, shard) order: take_all row order is not stable
+        # across runs, and float32 summation order would make non-dyadic lr
+        # values run-dependent when several shards touch one bucket.
+        mixed64: dict[int, np.ndarray] = {}
+        for r in sorted(rows, key=lambda r: (int(r["bucket"]), int(r["shard"]))):
             b = int(r["bucket"])
             if b < 0:
                 continue  # sentinel error-count row
-            d = np.asarray(r["delta"], dtype=np.float32)
-            mixed[b] = mixed.get(b, np.zeros(NUM_TAGS, np.float32)) + d
-        if mixed:
-            cur = _apply_mixed(cur, {b: d / n_shards for b, d in mixed.items()})
+            d = np.asarray(r["delta"], dtype=np.float64)
+            mixed64[b] = mixed64.get(b, np.zeros(NUM_TAGS, np.float64)) + d
+        if mixed64:
+            cur = _apply_mixed(cur, {b: (d / n_shards).astype(np.float32)
+                                     for b, d in mixed64.items()})
         if errors == 0:
             break
     return cur, errors
@@ -185,19 +191,24 @@ def _apply_mixed(model: HashEmbeddingTagger,
 
 
 def finetune_and_save_csv(base: HashEmbeddingTagger, csv_path: str,
-                          save_dir: str, epochs: int = 1, lr: float = 2.0,
+                          save_dir: str, epochs: int = 8, lr: float = 2.0,
                           distributed: bool = False,
                           shards: int = 4) -> HashEmbeddingTagger:
     """The full FinetuneAndSave contract over the CSV seam
     (bolt_unix.go:89-133: read samples ← CSV, train(lr, epochs), Save):
     gazetteer accumulation for coverage, then perceptron epochs (sequential or
-    IPM-distributed), then persist the artifact dir (local or fsspec URL)."""
+    IPM-distributed), then persist the artifact dir (local or fsspec URL).
+
+    ``epochs`` is honored exactly as passed (the reference trains precisely
+    the requested passes; defaultEpochs=1 in bolt_unix.go — our DEFAULT is 8
+    because the perceptron usually needs several passes to separate, but a
+    caller asking for fewer gets fewer)."""
     samples = read_samples_csv(csv_path)
     tuned = base.finetune(samples)
     if distributed:
         ds = samples_dataset(samples, shards)
-        tuned, _ = finetune_perceptron_ipm(tuned, ds, epochs=max(epochs, 8), lr=lr)
+        tuned, _ = finetune_perceptron_ipm(tuned, ds, epochs=epochs, lr=lr)
     else:
-        tuned.finetune_perceptron(samples, epochs=max(epochs, 8), lr=lr)
+        tuned.finetune_perceptron(samples, epochs=epochs, lr=lr)
     tuned.save(save_dir)
     return tuned
