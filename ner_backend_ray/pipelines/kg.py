@@ -421,18 +421,6 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
                          "band": pa.array(bands.ravel(), pa.int32()),
                          "band_hash": pa.array(hashes.ravel(), pa.int64())})
 
-    def root_map_from_docs() -> dict[str, str] | ray.data.Dataset:
-        """dict under the broadcast budget; above it a (node, root) star-forest
-        Dataset applied via bucket hash join (the graph phase branches)."""
-        from ..ops.cc import resolve_roots_or_stars
-        pairs = (docs
-                 .map_batches(band_rows_from_docs, batch_format="pyarrow")
-                 .repartition(_compact_small())
-                 .groupby(["band", "band_hash"])
-                 .map_groups(bucket_pairs, batch_format="pyarrow"))
-        return resolve_roots_or_stars(pairs, "entity_key", "root",
-                                      budget=_CC_BUDGET)
-
     def node_partials_from_docs(batch: pa.Table) -> pa.Table:
         """Fused explode+combiner: docs batch → distinct (entity_key, label,
         surface, partial_count) rows. Fusing removes nodes_pre's dependency on
@@ -444,12 +432,14 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
     # The independent consumers of docs are small executions that don't saturate
     # the cluster individually — overlap them (driver threads). The tag stage
     # itself is NOT overlapped with anything: it saturates the CPUs and
-    # concurrent executions only contend (measured). Dependency chains (all
-    # branches hang off the materialized docs — the mentions/triples
-    # materializations serve only the returned tables and are OFF the
-    # nodes/edges critical path):
-    #   docs → {mentions, triples, groups, root_map, nodes_pre}
-    #   nodes_pre + root_map → nodes;   docs + root_map → edges
+    # concurrent executions only contend (measured). Only THREE executions scan
+    # the materialized docs (mentions, triples, and the combined-partials
+    # union); everything else consumes the small compacted partials.
+    # Dependency chains (mentions/triples serve only the returned tables and
+    # are OFF the nodes/edges critical path):
+    #   docs → {mentions, triples, parts}
+    #   parts → {groups, root_map, nodes_pre, edges_raw}
+    #   nodes_pre + root_map → nodes;   edges_raw + root_map → edges
     with ThreadPoolExecutor(max_workers=8) as ex:
         f_mentions = ex.submit(_timed(
             "mentions",
@@ -457,25 +447,6 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
         f_triples = ex.submit(_timed(
             "triples",
             lambda: _linked_triples(docs, cfg, alias_path).materialize()))
-        f_groups = ex.submit(_timed(
-            "groups",
-            lambda: docs.map_batches(explode_groups,
-                                     batch_format="pyarrow").materialize()))
-        f_root_map = ex.submit(_timed("root_map", root_map_from_docs))
-        # the sort-based groupby creates (input blocks)² shuffle partitions, each
-        # with ~20 ms of driver-side cost — so combiner partials are compacted to
-        # a few blocks first (they are small: distinct keys per block, not
-        # mentions). At real scale this knob tracks partial volume (see
-        # _compact_small), not a constant.
-        f_nodes_pre = ex.submit(_timed(
-            "nodes_pre",
-            lambda: (docs
-                     .map_batches(node_partials_from_docs, batch_format="pyarrow")
-                     .repartition(_compact_small())
-                     .groupby("entity_key")
-                     .map_groups(finalize_node_group, batch_format="pyarrow")
-                     .materialize())))
-
         def partial_edge_counts_raw(batch: pa.Table) -> pa.Table:
             """Fused explode+combiner over RAW entity keys — needs no broadcast
             state, so the big edge aggregation starts at phase start instead of
@@ -500,11 +471,85 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             return agg.rename_columns(["subj_key", "pred", "obj_key",
                                        "partial_weight"])
 
-        f_edges_raw = ex.submit(
+        # The three combiner chains (LSH band rows, node partials, raw edge
+        # partials) used to be three separate full scans of docs — three
+        # streaming executors contending for the driver GIL and re-reading
+        # every block (round-3 verdict item 8). They are now ONE scan emitting
+        # a discriminated union (kind + null-padded columns); the per-kind
+        # groupbys run over the compacted, materialized partials (a handful
+        # of blocks), so their driver cost no longer tracks the docs block
+        # count. The sort-based groupby creates (input blocks)² shuffle
+        # partitions at ~20 ms each — hence the single repartition before
+        # materializing (partials are small: distinct keys, not mentions).
+        _UNION_FIELDS = [
+            ("kind", pa.int8()), ("entity_key", pa.string()),
+            ("band", pa.int32()), ("band_hash", pa.int64()),
+            ("label", pa.string()), ("surface", pa.string()),
+            ("partial_count", pa.int64()), ("bucket", pa.int64()),
+            ("subj_key", pa.string()), ("pred", pa.string()),
+            ("obj_key", pa.string()), ("partial_weight", pa.int64()),
+            ("url", pa.string()), ("group_name", pa.string()),
+        ]
+
+        def combined_partials(batch: pa.Table) -> pa.Table:
+            outs = []
+            for kind, t in ((0, band_rows_from_docs(batch)),
+                            (1, node_partials_from_docs(batch)),
+                            (2, partial_edge_counts_raw(batch)),
+                            (3, explode_groups(batch))):
+                n = t.num_rows
+                cols = {}
+                for name, typ in _UNION_FIELDS:
+                    if name == "kind":
+                        cols[name] = pa.array(np.full(n, kind, np.int8), typ)
+                    elif name in t.column_names:
+                        cols[name] = t[name].cast(typ)
+                    else:
+                        cols[name] = pa.nulls(n, typ)
+                outs.append(pa.table(cols))
+            return pa.concat_tables(outs)
+
+        f_parts = ex.submit(
             lambda: (docs
-                     .map_batches(partial_edge_counts_raw,
-                                  batch_format="pyarrow")
+                     .map_batches(combined_partials, batch_format="pyarrow")
                      .repartition(_compact_small())
+                     .materialize()))
+
+        def _of_kind(parts, kind: int, cols: list[str]):
+            return parts.map_batches(
+                lambda b: b.filter(pc.equal(b["kind"], kind)).select(cols),
+                batch_format="pyarrow")
+
+        def root_map_run() -> dict[str, str] | ray.data.Dataset:
+            """dict under the broadcast budget; above it a (node, root)
+            star-forest Dataset applied via bucket hash join."""
+            from ..ops.cc import resolve_roots_or_stars
+            pairs = (_of_kind(f_parts.result(), 0,
+                              ["entity_key", "band", "band_hash"])
+                     .groupby(["band", "band_hash"])
+                     .map_groups(bucket_pairs, batch_format="pyarrow"))
+            return resolve_roots_or_stars(pairs, "entity_key", "root",
+                                          budget=_CC_BUDGET)
+
+        f_root_map = ex.submit(_timed("root_map", root_map_run))
+        # groups ride the combined-partials union (kind 3): the table is tiny
+        # (url, group_name rows) and folding it removes one full docs scan
+        f_groups = ex.submit(_timed(
+            "groups",
+            lambda: _of_kind(f_parts.result(), 3,
+                             ["url", "group_name"]).materialize()))
+        f_nodes_pre = ex.submit(_timed(
+            "nodes_pre",
+            lambda: (_of_kind(f_parts.result(), 1,
+                              ["entity_key", "label", "surface",
+                               "partial_count"])
+                     .groupby("entity_key")
+                     .map_groups(finalize_node_group, batch_format="pyarrow")
+                     .materialize())))
+        f_edges_raw = ex.submit(
+            lambda: (_of_kind(f_parts.result(), 2,
+                              ["bucket", "subj_key", "pred", "obj_key",
+                               "partial_weight"])
                      .groupby("bucket")
                      .map_groups(sum_bucket_raw, batch_format="pyarrow")
                      .materialize()))
