@@ -264,33 +264,16 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
                          batch["__root"].to_pylist())
         return batch.drop_columns(["__root"]).append_column("canonical_id", cid)
 
-    def merge_node_group(group: pa.Table) -> pa.Table:
-        cid = group["canonical_id"][0].as_py()
-        label_counts: dict[str, int] = {}
-        surfaces: set[str] = set()
-        total = 0
-        for label, sf_list, cnt in zip(group["label"].to_pylist(),
-                                       group["surface_forms"].to_pylist(),
-                                       group["mention_count"].to_pylist()):
-            label_counts[label] = label_counts.get(label, 0) + cnt
-            surfaces.update(sf_list)
-            total += cnt
-        label = max(sorted(label_counts), key=lambda x: label_counts[x])
-        return pa.table({
-            "canonical_id": pa.array([cid], pa.string()),
-            "surface_forms": pa.array([sorted(surfaces)], pa.list_(pa.string())),
-            "label": pa.array([label], pa.string()),
-            "mention_count": pa.array([total], pa.int64()),
-        })
-
-    # groupby uses a range-partitioned sort shuffle, so its output is already
-    # globally ordered by canonical_id — no extra sort() shuffle needed
-    # (asserted by tests/test_pipeline_ray.py::test_graph_outputs_sorted)
+    # the sort's range partitioner never splits equal keys across partitions,
+    # so each block holds complete canonical_id groups and the merge is one
+    # vectorized Arrow kernel per block (no per-group Python dispatch)
+    # (sortedness asserted by tests/test_pipeline_ray.py::test_graph_outputs_sorted)
     nodes = (nodes_pre
              .map_batches(cid_from_join if use_star_join else apply_roots_nodes,
                           batch_format="pyarrow")
-             .groupby("canonical_id")
-             .map_groups(merge_node_group, batch_format="pyarrow"))
+             .sort("canonical_id")
+             .map_batches(_merge_node_block, batch_format="pyarrow",
+                          batch_size=None))
 
     # shuffle #3: edge dedup/weights over combiner partials. canonical_id is
     # memoized over the batch's distinct keys (few) so the per-row cost is one
@@ -308,7 +291,6 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
         agg = t.group_by(["subj_id", "pred", "obj_id"]).aggregate([([], "count_all")])
         return agg.rename_columns(["subj_id", "pred", "obj_id", "partial_weight"])
 
-    from ray.data.aggregate import Sum
     if use_star_join:
         # over-budget path: combiner over RAW keys (no broadcast state), then
         # two star-forest joins apply the roots distributively
@@ -336,8 +318,9 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
                                        batch_format="pyarrow")
     edges = (partials
              .repartition(_compact_wide())  # compact partials → bounded sort-shuffle fan-out
-             .groupby(["subj_id", "pred", "obj_id"])
-             .aggregate(Sum("partial_weight", alias_name="weight")))
+             .sort(["subj_id", "pred", "obj_id"])
+             .map_batches(_merge_edge_block, batch_format="pyarrow",
+                          batch_size=None))
 
     return nodes, edges
 
@@ -352,24 +335,76 @@ def _edge_key_partials(batch: pa.Table) -> pa.Table:
     return agg.rename_columns(["subj_key", "pred", "obj_key", "partial_weight"])
 
 
-def _merge_node_group(group: pa.Table) -> pa.Table:
-    cid = group["canonical_id"][0].as_py()
-    label_counts: dict[str, int] = {}
-    surfaces: set[str] = set()
-    total = 0
-    for label, sf_list, cnt in zip(group["label"].to_pylist(),
-                                   group["surface_forms"].to_pylist(),
-                                   group["mention_count"].to_pylist()):
-        label_counts[label] = label_counts.get(label, 0) + cnt
-        surfaces.update(sf_list)
-        total += cnt
-    label = max(sorted(label_counts), key=lambda x: label_counts[x])
+_NODE_SCHEMA = pa.schema([("canonical_id", pa.string()),
+                          ("surface_forms", pa.list_(pa.string())),
+                          ("label", pa.string()),
+                          ("mention_count", pa.int64())])
+
+
+def _merge_node_block(block: pa.Table) -> pa.Table:
+    """Vectorized node merge over one sort partition (whole canonical_id runs
+    — Ray's range partitioner sends equal keys to one partition, so a block
+    holds complete groups). Replaces groupby().map_groups(_merge_node_group),
+    whose per-GROUP Python dispatch is O(distinct entities) interpreter work —
+    the graph tail's hot spot. Semantics are identical: label election by
+    (count desc, label asc), sorted distinct surface union, count sum."""
+    if block.num_rows == 0:
+        return _NODE_SCHEMA.empty_table()
+    lab = (block.select(["canonical_id", "label", "mention_count"])
+           .group_by(["canonical_id", "label"])
+           .aggregate([("mention_count", "sum")])
+           .sort_by([("canonical_id", "ascending"),
+                     ("mention_count_sum", "descending"),
+                     ("label", "ascending")]))
+    cids = lab["canonical_id"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(cids), dtype=bool)
+    first[1:] = cids[1:] != cids[:-1]
+    winners = lab.filter(pa.array(first))
+    totals = (block.group_by(["canonical_id"])
+              .aggregate([("mention_count", "sum")]).sort_by("canonical_id"))
+    sf = block["surface_forms"].combine_chunks()
+    lens = pc.list_value_length(sf).fill_null(0).to_numpy(zero_copy_only=False)
+    idx = np.repeat(np.arange(block.num_rows, dtype=np.int32),
+                    lens.astype(np.int32))
+    flat = pa.table({"canonical_id": pc.take(block["canonical_id"],
+                                             pa.array(idx)),
+                     "surface": pc.list_flatten(sf)})
+    dist = (flat.group_by(["canonical_id", "surface"])
+            .aggregate([([], "count_all")])
+            .sort_by([("canonical_id", "ascending"),
+                      ("surface", "ascending")]))
+    dc = dist["canonical_id"].to_numpy(zero_copy_only=False)
+    newg = np.ones(len(dc), dtype=bool)
+    newg[1:] = dc[1:] != dc[:-1]
+    offsets = np.append(np.flatnonzero(newg), len(dc)).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                     dist["surface"].combine_chunks())
+    # winners / totals / dist runs share the same sorted distinct-cid axis
     return pa.table({
-        "canonical_id": pa.array([cid], pa.string()),
-        "surface_forms": pa.array([sorted(surfaces)], pa.list_(pa.string())),
-        "label": pa.array([label], pa.string()),
-        "mention_count": pa.array([total], pa.int64()),
-    })
+        "canonical_id": winners["canonical_id"],
+        "surface_forms": lists,
+        "label": winners["label"],
+        "mention_count": totals["mention_count_sum"],
+    }).cast(_NODE_SCHEMA)
+
+
+_EDGE_SCHEMA = pa.schema([("subj_id", pa.string()), ("pred", pa.string()),
+                          ("obj_id", pa.string()), ("weight", pa.int64())])
+
+
+def _merge_edge_block(block: pa.Table) -> pa.Table:
+    """Vectorized edge merge over one sort partition (whole triple-key runs):
+    one Arrow group_by + local sort — no per-group Python dispatch and no
+    multi-string Ray aggregate (measured ~10k rows/s/core)."""
+    if block.num_rows == 0:
+        return _EDGE_SCHEMA.empty_table()
+    agg = (block.select(["subj_id", "pred", "obj_id", "partial_weight"])
+           .group_by(["subj_id", "pred", "obj_id"])
+           .aggregate([("partial_weight", "sum")])
+           .sort_by([("subj_id", "ascending"), ("pred", "ascending"),
+                     ("obj_id", "ascending")]))
+    return agg.rename_columns(["subj_id", "pred", "obj_id",
+                               "weight"]).cast(_EDGE_SCHEMA)
 
 
 def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
@@ -385,7 +420,6 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
     ``timings`` (optional): filled with each sub-chain's completion offset in
     seconds from phase start — the profiling seam bench/tuning uses."""
     import time as _time
-    from ray.data.aggregate import Sum
 
     _t0 = _time.time()
 
@@ -576,8 +610,10 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             return (batch.drop_columns(["__root"])
                     .append_column("canonical_id", cid))
 
-        # groupby's range-partitioned sort shuffle leaves output globally
-        # key-ordered, so no separate sort() pass
+        # sort's range partitioner never splits equal keys, so each block holds
+        # complete canonical_id groups and the merge is one vectorized Arrow
+        # kernel per block — no per-group Python dispatch (which is O(distinct
+        # entities) interpreter work); output stays globally key-ordered
         # (tests/test_pipeline_ray.py asserts this)
         if use_star_join:
             keyed = _join_star_roots(nodes_pre, "entity_key", stars,
@@ -587,8 +623,9 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             keyed = nodes_pre.map_batches(apply_roots_nodes,
                                           batch_format="pyarrow")
         nodes_chain = (keyed
-                       .groupby("canonical_id")
-                       .map_groups(_merge_node_group, batch_format="pyarrow"))
+                       .sort("canonical_id")
+                       .map_batches(_merge_node_block, batch_format="pyarrow",
+                                    batch_size=None))
         # entity_key → canonical_id mapping (one row per distinct key; triples'
         # subj/obj keys are always mention keys, so this covers every key) —
         # the export the driver oracle uses to recompute nodes/edges in SQL
@@ -598,33 +635,22 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             """Apply the root map to the SMALL aggregated raw-edge table
             (distinct raw key triples, not triples): canonical ids memoized
             over the batch's distinct keys, local re-aggregation (raw keys
-            that merge under canonicalization collapse here), re-bucketed on
-            the canonical triple for the final tiny exact groupby."""
+            that merge under canonicalization collapse here); the final exact
+            merge happens per sort partition (_merge_edge_block)."""
             rm = ray.get(root_map_ref)
             sk = batch["subj_key"].to_pylist()
             ok = batch["obj_key"].to_pylist()
             memo = {k: canonical_id(rm.get(k, k)) for k in set(sk) | set(ok)}
-            subj = pa.array([memo[k] for k in sk], pa.string())
-            obj = pa.array([memo[k] for k in ok], pa.string())
-            key = pc.binary_join_element_wise(subj, batch["pred"].combine_chunks()
-                                              if isinstance(batch["pred"], pa.ChunkedArray)
-                                              else batch["pred"], obj, "\x1f")
             t = pa.table({
-                "bucket": _bucket_hash(key, n_edge_buckets),
-                "subj_id": subj,
+                "subj_id": pa.array([memo[k] for k in sk], pa.string()),
                 "pred": batch["pred"],
-                "obj_id": obj,
+                "obj_id": pa.array([memo[k] for k in ok], pa.string()),
                 "partial_weight": batch["partial_weight"],
             })
-            agg = t.group_by(["bucket", "subj_id", "pred", "obj_id"]).aggregate(
+            agg = t.group_by(["subj_id", "pred", "obj_id"]).aggregate(
                 [("partial_weight", "sum")])
-            return agg.rename_columns(["bucket", "subj_id", "pred", "obj_id",
+            return agg.rename_columns(["subj_id", "pred", "obj_id",
                                        "partial_weight"])
-
-        def sum_bucket(group: pa.Table) -> pa.Table:
-            agg = (group.group_by(["subj_id", "pred", "obj_id"])
-                   .aggregate([("partial_weight", "sum")]))
-            return agg.rename_columns(["subj_id", "pred", "obj_id", "weight"])
 
         # nodes launch as soon as the root map is ready — overlapped with the
         # (independent) mentions/triples/groups/raw-edge materializations
@@ -642,20 +668,15 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
                               batch["__sr"].to_pylist())
             obj = _cid_array(batch["obj_key"].to_pylist(),
                              batch["__or"].to_pylist())
-            key = pc.binary_join_element_wise(
-                subj, batch["pred"].combine_chunks()
-                if isinstance(batch["pred"], pa.ChunkedArray)
-                else batch["pred"], obj, "\x1f")
             t = pa.table({
-                "bucket": _bucket_hash(key, n_edge_buckets),
                 "subj_id": subj,
                 "pred": batch["pred"],
                 "obj_id": obj,
                 "partial_weight": batch["partial_weight"],
             })
-            agg = t.group_by(["bucket", "subj_id", "pred", "obj_id"]).aggregate(
+            agg = t.group_by(["subj_id", "pred", "obj_id"]).aggregate(
                 [("partial_weight", "sum")])
-            return agg.rename_columns(["bucket", "subj_id", "pred", "obj_id",
+            return agg.rename_columns(["subj_id", "pred", "obj_id",
                                        "partial_weight"])
 
         def edges_run():
@@ -668,11 +689,16 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             else:
                 canon = raw.map_batches(canonicalize_edge_partials,
                                         batch_format="pyarrow")
+            # ONE AllToAll: the triple sort both groups (equal keys share a
+            # partition) and orders the artifact; the per-block merge is a
+            # vectorized Arrow kernel (was: bucket groupby + per-group Python
+            # + a second sort shuffle)
             edges_chain = (canon
                            .repartition(_compact_small())
-                           .groupby("bucket")
-                           .map_groups(sum_bucket, batch_format="pyarrow")
-                           .sort(["subj_id", "pred", "obj_id"]))
+                           .sort(["subj_id", "pred", "obj_id"])
+                           .map_batches(_merge_edge_block,
+                                        batch_format="pyarrow",
+                                        batch_size=None))
             return edges_chain.materialize()
 
         f_edges = ex.submit(_timed("edges", edges_run))
