@@ -172,6 +172,61 @@ def finetune_perceptron_ipm(model: HashEmbeddingTagger,
     return cur, errors
 
 
+MAX_FINETUNE_PAYLOAD = 2 * 1024 * 1024  # model.go:92 — const maxPayload = 2 MB
+
+
+def chunk_samples(samples: list[Sample],
+                  max_payload: int = MAX_FINETUNE_PAYLOAD) -> list[list[Sample]]:
+    """Greedy bounded-payload chunking, the transport half of the reference's
+    FinetuneAndSave RPC contract (internal/core/python/model.go:112-150): a
+    sample's estimated size is the sum of its token and label byte lengths;
+    when appending a sample would push the running chunk past ``max_payload``
+    the chunk is flushed FIRST and the sample starts the next one — so a
+    single sample larger than the budget still ships, alone in its own chunk,
+    exactly as the Go loop behaves. Order within and across chunks preserves
+    the input order; concatenating the chunks reproduces ``samples``."""
+    chunks: list[list[Sample]] = []
+    curr: list[Sample] = []
+    curr_size = 0
+    for tokens, labels in samples:
+        est = sum(len(t.encode("utf-8") if isinstance(t, str) else t)
+                  for t in tokens)
+        est += sum(len(l.encode("utf-8")) for l in labels)
+        if curr and curr_size + est > max_payload:
+            chunks.append(curr)
+            curr, curr_size = [], 0
+        curr.append((tokens, labels))
+        curr_size += est
+    if curr:
+        chunks.append(curr)
+    return chunks
+
+
+def finetune_streamed(base: HashEmbeddingTagger, samples: list[Sample],
+                      save_dir: str | None = None, epochs: int = 5,
+                      seed: int = 0,
+                      max_payload: int = MAX_FINETUNE_PAYLOAD,
+                      ) -> HashEmbeddingTagger:
+    """FinetuneAndSave with the reference's bounded-payload streaming shape
+    (model.go:91-157): ``epochs`` passes (the Go loop is fixed at 5 — our
+    default), each pass shuffles the samples then ships them to the model in
+    greedy ≤``max_payload`` chunks, one finetune call per chunk. The
+    reference's ``rand.Shuffle`` is nondeterministic; here the shuffle is a
+    seeded permutation so runs reproduce (the chunk *boundaries* are what the
+    contract pins, not a specific order). Saves the artifact dir at the end
+    when ``save_dir`` is given."""
+    rng = np.random.default_rng(seed)
+    model = base
+    for _ in range(epochs):
+        order = rng.permutation(len(samples))
+        shuffled = [samples[i] for i in order]
+        for chunk in chunk_samples(shuffled, max_payload):
+            model = model.finetune(chunk)
+    if save_dir is not None:
+        model.save(save_dir)
+    return model
+
+
 def _apply_mixed(model: HashEmbeddingTagger,
                  mixed: dict[int, np.ndarray]) -> HashEmbeddingTagger:
     """New model = old model + mixed deltas (kept out-of-place so the caller's

@@ -10,8 +10,10 @@ import numpy as np
 import pytest
 
 from ner_backend_ray.models.finetune import (
+    chunk_samples,
     finetune_and_save_csv,
     finetune_perceptron_ipm,
+    finetune_streamed,
     read_samples_csv,
     samples_dataset,
     write_samples_csv,
@@ -112,3 +114,62 @@ def test_finetune_and_save_csv_distributed(ray_session, tmp_path):
     loaded = HashEmbeddingTagger.load(str(tmp_path / "m"))
     assert [(e.label, e.text) for e in loaded.predict(b"we saw mercury rise")] == \
         [("LOCATION", b"mercury")]
+
+
+# ------------------- bounded-payload streaming (model.go:91-157) -------------------
+
+def test_chunk_samples_greedy_boundary():
+    # budget 10 bytes; samples of est size 4 each ("ab"+"cd" tokens=4B, labels
+    # "O","O"=2B → 6B). 6+6 > 10 → each sample flushes the previous one.
+    s = (["ab", "cd"], ["O", "O"])  # est = 4 + 2 = 6
+    chunks = chunk_samples([s, s, s], max_payload=10)
+    assert [len(c) for c in chunks] == [1, 1, 1]
+    # budget 12 fits exactly two (6+6 == 12, the Go check is strict >)
+    chunks = chunk_samples([s, s, s], max_payload=12)
+    assert [len(c) for c in chunks] == [2, 1]
+
+
+def test_chunk_samples_oversized_sample_ships_alone():
+    big = (["x" * 100], ["LOCATION"])  # est 108 > budget
+    small = (["a"], ["O"])             # est 2
+    chunks = chunk_samples([small, big, small], max_payload=50)
+    assert chunks == [[small], [big], [small]]
+
+
+def test_chunk_samples_concat_preserves_order():
+    samples = [([f"t{i}"], ["O"]) for i in range(37)]
+    chunks = chunk_samples(samples, max_payload=16)
+    assert [x for c in chunks for x in c] == samples
+    # every chunk except possibly a lone-oversized one respects the budget
+    for c in chunks:
+        est = sum(len(t) for toks, labs in c for t in toks) + \
+              sum(len(l) for toks, labs in c for l in labs)
+        assert est <= 16 or len(c) == 1
+
+
+def test_finetune_streamed_equals_bulk(tmp_path):
+    # the gazetteer accumulation is append-order-sensitive only within one
+    # pass; chunking an epoch's (shuffled) order must produce the identical
+    # model to one bulk call on that order — chunk size must not matter
+    base = _conflict_base()
+    rng = np.random.default_rng(7)
+    bulk = base
+    for _ in range(3):
+        order = rng.permutation(len(_SAMPLES))
+        bulk = bulk.finetune([_SAMPLES[i] for i in order])
+    streamed = finetune_streamed(base, _SAMPLES, epochs=3, seed=7,
+                                 max_payload=8)  # forces multi-chunk epochs
+    assert streamed._vocab == bulk._vocab
+    assert streamed._o_vocab == bulk._o_vocab
+    texts = [b"we saw mercury rise", b"venus set near the mercury"]
+    for t in texts:
+        assert [(e.label, e.text) for e in streamed.predict(t)] == \
+            [(e.label, e.text) for e in bulk.predict(t)]
+
+
+def test_finetune_streamed_saves(tmp_path):
+    out = str(tmp_path / "streamed_model")
+    m = finetune_streamed(_conflict_base(), _SAMPLES, save_dir=out, epochs=2)
+    loaded = HashEmbeddingTagger.load(out)
+    assert [(e.label, e.text) for e in loaded.predict(b"we saw mercury rise")] == \
+        [(e.label, e.text) for e in m.predict(b"we saw mercury rise")]
