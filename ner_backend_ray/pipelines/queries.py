@@ -58,6 +58,22 @@ def _tbl(sf_dir: str, name: str, columns: list[str] | None = None,
                                  override_num_blocks=num_blocks)
 
 
+def _doc_pool(sf_dir: str, name: str, batch_size: int = 256,
+              min_batches_per_actor: int = 4) -> int:
+    """Actor-pool size matched to the table's volume: ``cpus − 2`` (the
+    dominant stage owns the cluster, minus headroom for read tasks + driver)
+    but never more actors than ``rows / (min_batches_per_actor × batch_size)``
+    can keep busy — pool startup is the entire cost on small inputs (measured
+    at sf0.1/5k docs: 30 actors = 3.8-8.5 s, 5 actors = 1.0-1.6 s, identical
+    output). Row count comes from the parquet footer (no data read). The cap
+    grows linearly with rows, so any real corpus (≥ ~30k rows at 32 CPUs)
+    gets the full-width pool — scale behavior is unchanged."""
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    rows = pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+    by_data = -(-rows // (min_batches_per_actor * batch_size))  # ceil div
+    return max(1, min(n_cpus - 2, by_data))
+
+
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """floor(x*100 + 0.5) as int64 — deterministic fixed-point, mirrored in SQL."""
     return pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))).cast(pa.int64())
@@ -405,13 +421,10 @@ def _tag_documents(sf_dir: str) -> ray.data.Dataset:
     """Full inference chain (predict → validators → coalesce → DSL groups) with the
     injectable regex tagger, over the documents table (the processor_test.go:18-114
     dataflow pattern, distributed)."""
-    # leave headroom for the read/explode tasks so a small (test) cluster can't
-    # starve: the actor pool reserves all but 2 CPUs (the dominant stage should
-    # own the cluster — a fixed cap of 8 left 22 CPUs idle on the 32-CPU bench);
-    # the read is cut to 4 waves of the pool so block count, which bounds
-    # map_batches parallelism, never idles the pool
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    conc = max(1, n_cpus - 2)
+    # pool sized to the data (see _doc_pool); the read is cut to 4 waves of
+    # the pool so block count, which bounds map_batches parallelism, never
+    # idles the pool
+    conc = _doc_pool(sf_dir, "documents")
     ds = _tbl(sf_dir, "documents", ["doc_id", "text"], num_blocks=4 * conc)
 
     def to_pages(batch: pa.Table) -> pa.Table:
@@ -491,9 +504,8 @@ def q_preview(sf_dir: str):
     tokens re-tagged; emits per-doc preview-token and tagged-token counts."""
     from ..ops.preview import PreviewDocs
 
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    ds = _tbl(sf_dir, "documents", ["doc_id", "text"],
-              num_blocks=4 * max(1, n_cpus - 2))
+    pool = _doc_pool(sf_dir, "documents")
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"], num_blocks=4 * pool)
 
     def to_pages(batch: pa.Table) -> pa.Table:
         return pa.table({"url": pc.cast(batch["doc_id"], pa.string()),
@@ -505,7 +517,7 @@ def q_preview(sf_dir: str):
                                    model_kwargs={"patterns": _WORD_PATTERNS},
                                    text_column="text"),
         batch_size=256, batch_format="pyarrow",
-        concurrency=max(1, n_cpus - 2), num_cpus=1)
+        concurrency=pool, num_cpus=1)
 
     def summarize(batch: pa.Table) -> pa.Table:
         n_tokens = pc.list_value_length(batch["tokens"]).cast(pa.int64())
@@ -526,8 +538,7 @@ def q_redacted_docs(sf_dir: str):
     Actor-pool stage — the tagger compiles once per actor, not once per batch."""
     from ..ops.redact import RedactDocs
 
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    pool = max(1, n_cpus - 2)
+    pool = _doc_pool(sf_dir, "documents")
     ds = _tbl(sf_dir, "documents", ["doc_id", "text"], num_blocks=4 * pool)
     return ds.map_batches(
         RedactDocs,
