@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -175,6 +177,160 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         out = lpt.join(rpt, keys=key, join_type=join_type)
         # Acero may reorder columns; pin the l-then-r layout callers expect.
         return out.select(lcols + [c for c in rcols if c != key])
+
+    return combined.groupby("__bucket").map_groups(merge_group,
+                                                   batch_format="pyarrow")
+
+
+def _two_sided_buckets(left: ray.data.Dataset, right: ray.data.Dataset,
+                       left_by: str, right_by: str,
+                       n_buckets: int) -> ray.data.Dataset:
+    """Co-partition two datasets by key hash into one bucket-tagged union —
+    the shared shuffle plan under asof_join / range_join. Column names must
+    already be disjoint (callers rename the right side up front); each side's
+    missing columns are padded with typed nulls so ``union`` sees one schema,
+    and ``__side`` discriminates inside the per-bucket kernel."""
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    shared = set(lcols) & set(rcols)
+    if shared:
+        raise ValueError(f"column collision (rename the right side): {shared}")
+    all_fields = ([(n, lschema.types[lschema.names.index(n)]) for n in lcols]
+                  + [(n, rschema.types[rschema.names.index(n)]) for n in rcols])
+
+    def tag(side: str, by: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {name: (batch[name].cast(typ) if name in batch.column_names
+                           else pa.nulls(n, typ))
+                    for name, typ in all_fields}
+            return (pa.table(cols)
+                    .append_column("__bucket", _bucket_of(batch[by], n_buckets))
+                    .append_column("__side", pa.array([side] * n)))
+        return f
+
+    return left.map_batches(tag("l", left_by), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_by), batch_format="pyarrow"))
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_by: str, right_by: str, left_on: str, right_on: str,
+              tiebreak: str | None = None, allow_exact_matches: bool = True,
+              n_buckets: int = 32) -> ray.data.Dataset:
+    """Distributed as-of join — an operator Ray Data lacks: for every left
+    row, attach the right row of the same ``by`` key with the greatest
+    ``right_on`` ≤ ``left_on`` (< when ``allow_exact_matches=False``); left
+    rows with no prior right row keep typed nulls. Output = left columns +
+    right non-key columns (right's ``by``/``on`` columns are dropped; callers
+    rename right columns up front so names never collide).
+
+    Plan: hash-co-partition both sides by key (one shuffle), then one
+    ``pd.merge_asof`` per bucket — a sort + C merge, no Python row loop.
+    Partitioning assumption: each bucket's rows fit one worker (size
+    ``n_buckets`` to the data via :func:`buckets_for`; a single hot key lives
+    in one bucket — pre-aggregate or salt upstream if one key alone exceeds a
+    worker). Ties on ``right_on`` resolve deterministically to the row with
+    the greatest ``tiebreak`` value (merge_asof keeps the LAST right row in
+    sort order, so the right side is sorted by (on, tiebreak))."""
+    lcols = list(left.schema().names)
+    rschema = right.schema()
+    drop = {right_by, right_on}
+    val_cols = [n for n in rschema.names if n not in drop]
+    val_types = {n: rschema.types[rschema.names.index(n)] for n in val_cols}
+    combined = _two_sided_buckets(left, right, left_by, right_by, n_buckets)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lpt = g.filter(pc.equal(side, "l")).select(lcols)
+        rpt = g.filter(pc.equal(side, "r")).select([right_by, right_on]
+                                                   + val_cols)
+        ldf = lpt.to_pandas().sort_values(left_on, kind="stable")
+        rsort = [right_on] + ([tiebreak] if tiebreak else [])
+        rdf = rpt.to_pandas().sort_values(rsort, kind="stable")
+        out = pd.merge_asof(ldf, rdf, left_on=left_on, right_on=right_on,
+                            left_by=left_by, right_by=right_by,
+                            allow_exact_matches=allow_exact_matches,
+                            direction="backward",
+                            suffixes=("", "__r"))
+        cols = {c: pa.Array.from_pandas(out[c]).cast(
+                    lpt.schema.field(c).type) for c in lcols}
+        for c in val_cols:
+            # pandas promotes null-padded ints to float64; rebuild as the
+            # declared Arrow type with real nulls (values are exact in f64)
+            t = val_types[c]
+            s = out[c]
+            if pa.types.is_integer(t):
+                arr = pa.Array.from_pandas(s.astype("Int64")).cast(t)
+            else:
+                arr = pa.Array.from_pandas(s).cast(t)
+            cols[c] = arr
+        return pa.table(cols)
+
+    return combined.groupby("__bucket").map_groups(merge_group,
+                                                   batch_format="pyarrow")
+
+
+def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
+               left_by: str, right_by: str, left_on: str, right_on: str,
+               low_offset: int, high_offset: int,
+               n_buckets: int = 32) -> ray.data.Dataset:
+    """Distributed band/interval join — pairs every left row with the right
+    rows of the same key whose ``right_on`` lies in
+    ``[left_on + low_offset, left_on + high_offset)`` (offsets in the raw
+    int64 units of the ``on`` columns, e.g. microseconds for timestamps).
+    Output = left columns + right non-``by`` columns.
+
+    Plan: the same key-hash co-partition shuffle as :func:`asof_join`; inside
+    each bucket the window lookups are two vectorized ``np.searchsorted``
+    calls over a (key-rank, time) composite int64 — no per-row or per-key
+    Python loop. Capacity: rank × time-span must fit int64, i.e. per-bucket
+    distinct keys × (on-range + window) < 2^63; with buckets sized to the
+    data (:func:`buckets_for`) this holds far past 10^9 rows/bucket — the
+    kernel asserts it rather than silently wrapping."""
+    lcols = list(left.schema().names)
+    rschema = right.schema()
+    val_cols = [n for n in rschema.names if n not in (right_by, right_on)]
+    combined = _two_sided_buckets(left, right, left_by, right_by, n_buckets)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lpt = g.filter(pc.equal(side, "l")).select(lcols)
+        rpt = g.filter(pc.equal(side, "r")).select([right_by, right_on]
+                                                   + val_cols)
+        out_schema = pa.schema(
+            [lpt.schema.field(c) for c in lcols]
+            + [rpt.schema.field(c) for c in val_cols])
+        if lpt.num_rows == 0 or rpt.num_rows == 0:
+            return out_schema.empty_table()
+        lkey = lpt[left_by].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = lpt[left_on].combine_chunks().cast(pa.int64()).to_numpy()
+        rkey = rpt[right_by].to_numpy(zero_copy_only=False).astype(np.int64)
+        ron = rpt[right_on].combine_chunks().cast(pa.int64()).to_numpy()
+        # rank keys within the bucket so the composite stays small
+        uniq = np.unique(np.concatenate([lkey, rkey]))
+        lrank = np.searchsorted(uniq, lkey)
+        rrank = np.searchsorted(uniq, rkey)
+        base = min(lon.min() + low_offset, ron.min())
+        span = int(max(lon.max() + high_offset, ron.max() + 1) - base)
+        assert len(uniq) < (1 << 62) // max(span, 1), \
+            "range_join composite overflow: raise n_buckets"
+        rcomp = rrank * span + (ron - base)
+        order = np.argsort(rcomp, kind="stable")
+        rcomp = rcomp[order]
+        lo = np.searchsorted(rcomp, lrank * span + (lon + low_offset - base),
+                             side="left")
+        hi = np.searchsorted(rcomp, lrank * span + (lon + high_offset - base),
+                             side="left")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(lon)), counts)
+        # right indices: for each left row, the run [lo, hi) in sorted order
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ri = order[np.arange(len(li)) - np.repeat(offs, counts)
+                   + np.repeat(lo, counts)]
+        lsel = lpt.take(pa.array(li, pa.int64()))
+        rsel = rpt.take(pa.array(ri, pa.int64()))
+        return pa.table({**{c: lsel[c] for c in lcols},
+                         **{c: rsel[c] for c in val_cols}})
 
     return combined.groupby("__bucket").map_groups(merge_group,
                                                    batch_format="pyarrow")

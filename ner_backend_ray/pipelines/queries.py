@@ -36,8 +36,9 @@ from ..oracle import KGConfig
 from ..ops.ann import brute_force_topk, lsh_topk
 from ..ops.dedup import (dedup_exact, dedup_minhash_lsh, embedding_near_dups,
                          simhash_near_dups)
-from ..ops.joins import (broadcast_join, bucket_hash_join, buckets_for,
-                         gated_dim_join, parquet_bytes)
+from ..ops.joins import (asof_join, broadcast_join, bucket_hash_join,
+                         buckets_for, gated_dim_join, parquet_bytes,
+                         range_join)
 from ..ops.textstats import fingerprint_batch, quality_features
 from ..ops.window import session_windows, tumbling_window
 from ..stages.tag import TagDocs, explode_groups, explode_mentions
@@ -902,6 +903,130 @@ def q_kg_search(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# as-of / range joins, order statistics, heavy hitters (SQL-checked)
+# --------------------------------------------------------------------------
+
+def _events_renamed(sf_dir: str, cols_map: dict[str, str]) -> ray.data.Dataset:
+    """events with columns renamed (right side of the self-joins — names must
+    be disjoint from the left's before the co-partition union)."""
+    src = list(cols_map)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({dst: batch[s] for s, dst in cols_map.items()})
+
+    return _tbl(sf_dir, "events", src).map_batches(rename,
+                                                   batch_format="pyarrow")
+
+
+def q_asof_prev_event(sf_dir: str):
+    """Self as-of join (ops/joins.py::asof_join): each event paired with the
+    same user's most recent strictly-prior event; ties on ts break to the
+    larger event_id. Events with no prior event emit -1 sentinels (NULL vs
+    NaN never reaches the compare)."""
+    left = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = _events_renamed(sf_dir, {"event_id": "prev_event_id",
+                                     "ts": "prev_ts",
+                                     "user_id": "prev_user_id",
+                                     "value": "prev_value"})
+    nb = buckets_for(parquet_bytes(os.path.join(sf_dir, "events.parquet")))
+    joined = asof_join(left, right,
+                       left_by="user_id", right_by="prev_user_id",
+                       left_on="ts", right_on="prev_ts",
+                       tiebreak="prev_event_id", allow_exact_matches=False,
+                       n_buckets=nb)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = pc.if_else(
+            pc.is_null(batch["prev_value"]), pa.scalar(-1, pa.int64()),
+            _cents(batch["prev_value"]))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "prev_event_id": pc.fill_null(batch["prev_event_id"], -1),
+            "prev_value_cents": cents,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_range_prior_pairs(sf_dir: str):
+    """Band join (ops/joins.py::range_join): every (event, same-user prior
+    event within the preceding 6 hours) pair — the interval-join surface the
+    windowed queries can't express."""
+    left = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = _events_renamed(sf_dir, {"event_id": "prior_event_id",
+                                     "ts": "prior_ts",
+                                     "user_id": "prior_user_id"})
+    nb = buckets_for(parquet_bytes(os.path.join(sf_dir, "events.parquet")))
+    joined = range_join(left, right,
+                        left_by="user_id", right_by="prior_user_id",
+                        left_on="ts", right_on="prior_ts",
+                        low_offset=-6 * HOUR_US, high_offset=0, n_buckets=nb)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "prior_event_id": batch["prior_event_id"]})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles (quantile_disc semantics: the element at
+    0-based rank ceil(q·n)−1) per group, via fixed-point value counts: only
+    (flag, cents, count) partials shuffle — the price domain bounds distinct
+    cents, so the reduce input stays tiny no matter how many rows feed it."""
+    ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "cents": _cents(batch["l_extendedprice"])})
+        agg = t.group_by(["l_returnflag", "cents"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["l_returnflag", "cents", "pn"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "cents"])
+              .aggregate(Sum("pn", alias_name="n")))
+
+    def pick(g: pa.Table) -> pa.Table:
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        cnt = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="stable")
+        cents, cnt = cents[order], cnt[order]
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        out: dict = {"l_returnflag": [g["l_returnflag"][0].as_py()]}
+        for name, q in (("p50_cents", 0.5), ("p90_cents", 0.9),
+                        ("p99_cents", 0.99)):
+            k = int(np.ceil(q * total)) - 1          # 0-based rank
+            idx = int(np.searchsorted(cum, k + 1, side="left"))
+            out[name] = [int(cents[idx])]
+        return pa.table(out)
+
+    return counts.groupby("l_returnflag").map_groups(pick,
+                                                     batch_format="pyarrow")
+
+
+def q_top_tokens(sf_dir: str):
+    """Exact heavy hitters: top-20 whitespace tokens corpus-wide. Per-batch
+    value-count partials (a token contributes one row per block, not per
+    occurrence) → groupby sum over the distinct vocabulary → deterministic
+    (count DESC, token ASC) top-k."""
+    ds = _tbl(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "pn": vc.field("counts").cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("pn", alias_name="n"))
+            .sort(["n", "token"], descending=[True, False])
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
 
@@ -924,6 +1049,10 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "ann_topk": q_ann_topk,
     "embedding_pairs_exact": q_embedding_pairs_exact,
+    "asof_prev_event": q_asof_prev_event,
+    "range_prior_pairs": q_range_prior_pairs,
+    "price_quantiles": q_price_quantiles,
+    "top_tokens": q_top_tokens,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1039,6 +1168,37 @@ ORACLE_SQL = {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         WHERE c.c_nationkey = s.s_nationkey
         GROUP BY 1, 2""",
+    "asof_prev_event": """
+        SELECT e.event_id,
+               COALESCE(p.event_id, -1) AS prev_event_id,
+               COALESCE(CAST(floor(p.value * 100 + 0.5) AS BIGINT), -1)
+                   AS prev_value_cents
+        FROM events e LEFT JOIN events p
+          ON p.user_id = e.user_id AND p.ts < e.ts
+        QUALIFY row_number() OVER (
+            PARTITION BY e.event_id
+            ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST) = 1""",
+    "range_prior_pairs": """
+        SELECT e.event_id, p.event_id AS prior_event_id
+        FROM events e JOIN events p
+          ON p.user_id = e.user_id
+         AND p.ts >= e.ts - INTERVAL 6 HOUR AND p.ts < e.ts""",
+    "price_quantiles": """
+        SELECT l_returnflag,
+               quantile_disc(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                             0.5) AS p50_cents,
+               quantile_disc(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                             0.9) AS p90_cents,
+               quantile_disc(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                             0.99) AS p99_cents
+        FROM lineitem GROUP BY l_returnflag""",
+    "top_tokens": r"""
+        SELECT token, n FROM (
+          SELECT tok AS token, count(*) AS n FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS tok
+            FROM documents)
+          WHERE tok <> '' GROUP BY tok)
+        ORDER BY n DESC, token LIMIT 20""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,

@@ -497,3 +497,86 @@ def test_sample_frames_empty_payload_marker(ray_session):
         batch_format="pyarrow", concurrency=1).take_all()
     # both unparseable payloads produce exactly one countable marker row
     assert sorted((r["id"], r["frame_idx"]) for r in out) == [(1, -1), (2, -1)]
+
+
+def _asof_brute(levts, revts, allow_exact):
+    """Per-row reference for asof_join: max (on, tiebreak) right row ≤/< left on."""
+    out = []
+    for (lk, lon, lid) in levts:
+        best = None
+        for (rk, ron, rid, rv) in revts:
+            if rk != lk:
+                continue
+            if ron > lon or (not allow_exact and ron == lon):
+                continue
+            if best is None or (ron, rid) > (best[0], best[1]):
+                best = (ron, rid, rv)
+        out.append((lid, None if best is None else best[1],
+                    None if best is None else best[2]))
+    return sorted(out)
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data
+    from ner_backend_ray.ops.joins import asof_join
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 200
+    levts = [(int(rng.integers(0, 9)), int(rng.integers(0, 50)), i)
+             for i in range(n_l)]
+    revts = [(int(rng.integers(0, 9)), int(rng.integers(0, 50)), 1000 + i,
+              float(i) / 4) for i in range(n_r)]
+    left = ray.data.from_arrow(pa.table({
+        "k": [e[0] for e in levts], "ts": pa.array([e[1] for e in levts], pa.int64()),
+        "lid": [e[2] for e in levts]}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": [e[0] for e in revts], "rts": pa.array([e[1] for e in revts], pa.int64()),
+        "rid": pa.array([e[2] for e in revts], pa.int64()),
+        "rv": [e[3] for e in revts]}))
+    for allow_exact in (True, False):
+        got = asof_join(left, right, left_by="k", right_by="rk",
+                        left_on="ts", right_on="rts", tiebreak="rid",
+                        allow_exact_matches=allow_exact, n_buckets=4)
+        tbl = pa.concat_tables([b for b in got.iter_batches(batch_format="pyarrow")])
+        # dtype contract: right int column stays int64-with-nulls, not float
+        assert tbl.schema.field("rid").type == pa.int64()
+        rows = sorted((r["lid"], r["rid"], r["rv"]) for r in tbl.to_pylist())
+        assert rows == _asof_brute(levts, revts, allow_exact)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data
+    from ner_backend_ray.ops.joins import range_join
+    rng = np.random.default_rng(13)
+    levts = [(int(rng.integers(0, 7)), int(rng.integers(0, 40)), i)
+             for i in range(250)]
+    revts = [(int(rng.integers(0, 7)), int(rng.integers(0, 40)), 1000 + i)
+             for i in range(250)]
+    left = ray.data.from_arrow(pa.table({
+        "k": [e[0] for e in levts], "ts": pa.array([e[1] for e in levts], pa.int64()),
+        "lid": [e[2] for e in levts]}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": [e[0] for e in revts], "rts": pa.array([e[1] for e in revts], pa.int64()),
+        "rid": pa.array([e[2] for e in revts], pa.int64())}))
+    lo, hi = -5, 3  # window [ts-5, ts+3): crosses zero, asymmetric
+    got = range_join(left, right, left_by="k", right_by="rk",
+                     left_on="ts", right_on="rts",
+                     low_offset=lo, high_offset=hi, n_buckets=4)
+    rows = sorted((r["lid"], r["rid"]) for r in got.take_all())
+    want = sorted((l[2], r[2]) for l in levts for r in revts
+                  if l[0] == r[0] and l[1] + lo <= r[1] < l[1] + hi)
+    assert rows == want
+
+
+def test_range_join_empty_side(ray_session):
+    import ray.data
+    from ner_backend_ray.ops.joins import range_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()), "ts": pa.array([5, 9], pa.int64()),
+        "lid": pa.array([0, 1], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()), "rts": pa.array([], pa.int64()),
+        "rid": pa.array([], pa.int64())}))
+    assert range_join(left, right, "k", "rk", "ts", "rts", -2, 2,
+                      n_buckets=2).count() == 0
