@@ -969,40 +969,68 @@ def q_range_prior_pairs(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
-def q_price_quantiles(sf_dir: str):
+def q_price_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles (quantile_disc semantics: the element at
-    0-based rank ceil(q·n)−1) per group, via fixed-point value counts: only
-    (flag, cents, count) partials shuffle — the price domain bounds distinct
-    cents, so the reduce input stays tiny no matter how many rows feed it."""
+    0-based rank ceil(q·n)−1) per group, via fixed-point value counts. Plan:
+    (flag, cents) fused into one int64 key (flag is one ASCII byte; cents <
+    2^41) and counted per batch, then collapsed in ONE bucketed reduce —
+    groupby on a small int32 bucket column + a vectorized Arrow sum inside
+    each group, the repo's edge-dedup pattern (a generic sorted
+    groupby(key).aggregate over the same 600k near-unique keys measured 4.4 s
+    vs 0.7 s for this shape at sf0.1). The collapsed result is bounded by the
+    PRICE DOMAIN × flags (distinct cents, ~1M), never by corpus size, so the
+    final rank pick reads it on the driver — a bounded small result, not a
+    dataset materialization."""
     ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    try:
+        n_buckets = max(64, 2 * int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        n_buckets = 64
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"l_returnflag": batch["l_returnflag"],
-                      "cents": _cents(batch["l_extendedprice"])})
-        agg = t.group_by(["l_returnflag", "cents"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["l_returnflag", "cents", "pn"])
+        cents = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        codes = np.frombuffer(np.array(flags, dtype="S1").tobytes(),
+                              dtype=np.uint8).astype(np.int64)
+        key = (codes << 41) | cents
+        agg = (pa.table({"key": pa.array(key, pa.int64())})
+               .group_by("key").aggregate([([], "count_all")])
+               .rename_columns(["key", "pn"]))
+        bucket = pa.array((agg["key"].to_numpy() % n_buckets).astype(np.int32))
+        return agg.append_column("bucket", bucket)
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["l_returnflag", "cents"])
-              .aggregate(Sum("pn", alias_name="n")))
+    def collapse(g: pa.Table) -> pa.Table:
+        return (g.group_by("key").aggregate([("pn", "sum")])
+                .rename_columns(["key", "n"]))
 
-    def pick(g: pa.Table) -> pa.Table:
-        cents = g["cents"].to_numpy(zero_copy_only=False)
-        cnt = g["n"].to_numpy(zero_copy_only=False)
-        order = np.argsort(cents, kind="stable")
-        cents, cnt = cents[order], cnt[order]
-        cum = np.cumsum(cnt)
+    collapsed = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("bucket").map_groups(collapse,
+                                               batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        b for b in collapsed.iter_batches(batch_format="pyarrow",
+                                          batch_size=None))
+    k = tbl["key"].to_numpy(zero_copy_only=False)
+    n = tbl["n"].to_numpy(zero_copy_only=False)
+    codes, cents = (k >> 41).astype(np.int64), k & ((1 << 41) - 1)
+    out: dict = {"l_returnflag": [], "p50_cents": [], "p90_cents": [],
+                 "p99_cents": []}
+    for c in np.unique(codes):
+        m = codes == c
+        cc, nn = cents[m], n[m]
+        order = np.argsort(cc, kind="stable")
+        cc, nn = cc[order], nn[order]
+        cum = np.cumsum(nn)
         total = int(cum[-1])
-        out: dict = {"l_returnflag": [g["l_returnflag"][0].as_py()]}
+        out["l_returnflag"].append(chr(c))
         for name, q in (("p50_cents", 0.5), ("p90_cents", 0.9),
                         ("p99_cents", 0.99)):
-            k = int(np.ceil(q * total)) - 1          # 0-based rank
-            idx = int(np.searchsorted(cum, k + 1, side="left"))
-            out[name] = [int(cents[idx])]
-        return pa.table(out)
-
-    return counts.groupby("l_returnflag").map_groups(pick,
-                                                     batch_format="pyarrow")
+            rank = int(np.ceil(q * total)) - 1       # 0-based
+            idx = int(np.searchsorted(cum, rank + 1, side="left"))
+            out[name].append(int(cc[idx]))
+    return pa.table({"l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                     "p50_cents": pa.array(out["p50_cents"], pa.int64()),
+                     "p90_cents": pa.array(out["p90_cents"], pa.int64()),
+                     "p99_cents": pa.array(out["p99_cents"], pa.int64())})
 
 
 def q_top_tokens(sf_dir: str):
