@@ -270,6 +270,42 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
                                                    batch_format="pyarrow")
 
 
+def range_window_pairs(lkey: np.ndarray, lon: np.ndarray,
+                       rkey: np.ndarray, ron: np.ndarray,
+                       low_offset: int, high_offset: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """The per-bucket kernel of :func:`range_join`: indices (li, ri) of every
+    pair with ``lkey[li] == rkey[ri]`` and ``ron[ri]`` in
+    ``[lon[li]+low_offset, lon[li]+high_offset)``. Both window bounds are two
+    vectorized ``np.searchsorted`` calls over a (key-rank × span) composite
+    int64 — no per-row or per-key Python loop. Module-level so the property
+    suite can exercise it against brute force without a Ray session."""
+    if len(lon) == 0 or len(ron) == 0:
+        empty = np.empty(0, np.int64)
+        return empty, empty
+    uniq = np.unique(np.concatenate([lkey, rkey]))
+    lrank = np.searchsorted(uniq, lkey)
+    rrank = np.searchsorted(uniq, rkey)
+    base = min(lon.min() + low_offset, ron.min())
+    span = int(max(lon.max() + high_offset, ron.max() + 1) - base)
+    assert len(uniq) < (1 << 62) // max(span, 1), \
+        "range_join composite overflow: raise n_buckets"
+    rcomp = rrank * span + (ron - base)
+    order = np.argsort(rcomp, kind="stable")
+    rcomp = rcomp[order]
+    lo = np.searchsorted(rcomp, lrank * span + (lon + low_offset - base),
+                         side="left")
+    hi = np.searchsorted(rcomp, lrank * span + (lon + high_offset - base),
+                         side="left")
+    counts = hi - lo
+    li = np.repeat(np.arange(len(lon)), counts)
+    # right indices: for each left row, the run [lo, hi) in sorted order
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ri = order[np.arange(len(li)) - np.repeat(offs, counts)
+               + np.repeat(lo, counts)]
+    return li, ri
+
+
 def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
                left_by: str, right_by: str, left_on: str, right_on: str,
                low_offset: int, high_offset: int,
@@ -306,27 +342,8 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
         lon = lpt[left_on].combine_chunks().cast(pa.int64()).to_numpy()
         rkey = rpt[right_by].to_numpy(zero_copy_only=False).astype(np.int64)
         ron = rpt[right_on].combine_chunks().cast(pa.int64()).to_numpy()
-        # rank keys within the bucket so the composite stays small
-        uniq = np.unique(np.concatenate([lkey, rkey]))
-        lrank = np.searchsorted(uniq, lkey)
-        rrank = np.searchsorted(uniq, rkey)
-        base = min(lon.min() + low_offset, ron.min())
-        span = int(max(lon.max() + high_offset, ron.max() + 1) - base)
-        assert len(uniq) < (1 << 62) // max(span, 1), \
-            "range_join composite overflow: raise n_buckets"
-        rcomp = rrank * span + (ron - base)
-        order = np.argsort(rcomp, kind="stable")
-        rcomp = rcomp[order]
-        lo = np.searchsorted(rcomp, lrank * span + (lon + low_offset - base),
-                             side="left")
-        hi = np.searchsorted(rcomp, lrank * span + (lon + high_offset - base),
-                             side="left")
-        counts = hi - lo
-        li = np.repeat(np.arange(len(lon)), counts)
-        # right indices: for each left row, the run [lo, hi) in sorted order
-        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        ri = order[np.arange(len(li)) - np.repeat(offs, counts)
-                   + np.repeat(lo, counts)]
+        li, ri = range_window_pairs(lkey, lon, rkey, ron,
+                                    low_offset, high_offset)
         lsel = lpt.take(pa.array(li, pa.int64()))
         rsel = rpt.take(pa.array(ri, pa.int64()))
         return pa.table({**{c: lsel[c] for c in lcols},

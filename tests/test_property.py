@@ -110,3 +110,31 @@ def test_redact_no_entities_identity_and_spans_removed(case):
     # every assigned placeholder appears; non-overlapping prefix survives
     for token in assigned.values():
         assert token in red
+
+
+@st.composite
+def keyed_series(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    keys = draw(st.lists(st.integers(min_value=-3, max_value=3),
+                         min_size=n, max_size=n))
+    ons = draw(st.lists(st.integers(min_value=-50, max_value=50),
+                        min_size=n, max_size=n))
+    return keys, ons
+
+
+@given(keyed_series(), keyed_series(),
+       st.integers(min_value=-10, max_value=10),
+       st.integers(min_value=-10, max_value=10))
+@settings(max_examples=200, deadline=None)
+def test_range_window_pairs_matches_bruteforce(l, r, a, b):
+    import numpy as np
+    from ner_backend_ray.ops.joins import range_window_pairs
+    lo, hi = min(a, b), max(a, b)
+    lkey, lon = (np.asarray(x, np.int64) for x in l)
+    rkey, ron = (np.asarray(x, np.int64) for x in r)
+    li, ri = range_window_pairs(lkey, lon, rkey, ron, lo, hi)
+    got = sorted(zip(li.tolist(), ri.tolist()))
+    want = sorted((i, j)
+                  for i in range(len(lon)) for j in range(len(ron))
+                  if lkey[i] == rkey[j] and lon[i] + lo <= ron[j] < lon[i] + hi)
+    assert got == want
