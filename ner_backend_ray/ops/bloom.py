@@ -1,0 +1,167 @@
+"""Bloom-filter runtime prefilter + exact semi-join (SURVEY.md §2.4 joins).
+
+The 100-TB pattern this implements is the *runtime filter*: a selective
+predicate on a small-ish build side (e.g. "urgent orders") should prune the
+probe side's rows BEFORE they enter any shuffle. Broadcasting the exact key
+set works until the key set outgrows worker heaps; a Bloom filter is the
+fixed-size stand-in — ``m`` bits summarize any number of keys with a tunable
+false-positive rate, membership tests are vectorized, and per-block filter
+partials combine by bitwise OR (associative, order-free), so the build is one
+``map_batches`` pass plus a driver OR of ``blocks × m/8`` bytes.
+
+A Bloom test admits false positives, so the semi-join stays EXACT by routing
+only the (few) surviving probe rows through a bucket co-partition with the
+distinct build keys and applying a per-bucket ``is_in`` — the Bloom pass cuts
+the shuffle volume by ~the predicate's selectivity; the verify pass restores
+set semantics. With a degenerate filter (m too small, 100 % fp) the result is
+still correct, just unpruned — tests pin both properties.
+
+Hashing: ``pd.util.hash_array`` (SipHash, fixed default key — identical in
+every worker process) maps any key dtype to uint64; Kirsch–Mitzenmacher
+double hashing derives the k probe positions from two mixes of that one hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .sketch import splitmix64
+
+
+def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2); m is rounded up
+    to a multiple of 64 so the bitmap packs into whole words."""
+    if not 0 < fpp < 1:
+        raise ValueError("fpp must be in (0, 1)")
+    n = max(1, int(n_keys))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) & ~63
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(col: pa.ChunkedArray | pa.Array | np.ndarray,
+               m_bits: int, k: int) -> np.ndarray:
+    """(len(col), k) bit positions via double hashing over one SipHash pass."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False) if isinstance(col, pa.Array) \
+        else np.asarray(col)
+    h1 = pd.util.hash_array(vals, categorize=False)
+    h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(m_bits)).astype(np.int64)
+
+
+def _local_bitmap(col, m_bits: int, k: int) -> np.ndarray:
+    bits = np.zeros(m_bits, np.uint8)
+    if len(col):
+        bits[_positions(col, m_bits, k).ravel()] = 1
+    return np.packbits(bits)
+
+
+def bloom_build(keys: ray.data.Dataset, key: str,
+                m_bits: int, k: int) -> np.ndarray:
+    """Fold a key column into one packed bitmap: each block emits its m/8-byte
+    partial, the driver ORs them. Only bitmap bytes leave the workers — the
+    build never collects the key column."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        bm = _local_bitmap(batch[key], m_bits, k)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = keys.map_batches(fold, batch_format="pyarrow").take_all()
+    out = np.zeros(m_bits // 8, np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bm"], np.uint8)
+    return out
+
+
+def bloom_might_contain(bitmap: np.ndarray, col,
+                        m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership mask: True iff all k probed bits are set (no
+    false negatives; false-positive rate set by bloom_params)."""
+    if not hasattr(col, "__len__") or not len(col):
+        return np.zeros(0, bool)
+    pos = _positions(col, m_bits, k)
+    bits = np.unpackbits(bitmap)
+    return bits[pos].all(axis=1)
+
+
+def bloom_semi_join(probe: ray.data.Dataset, probe_key: str,
+                    build: ray.data.Dataset, build_key: str,
+                    n_build_keys: int, fpp: float = 0.01,
+                    n_buckets: int = 32) -> ray.data.Dataset:
+    """Exact semi-join ``probe ⋉ build``: Bloom prefilter (no shuffle) then a
+    bucket co-partitioned ``is_in`` verify over the survivors only.
+
+    ``n_build_keys`` sizes the filter (an estimate is fine — a low guess only
+    raises the false-positive rate, never costs correctness). The verify pass
+    reuses the bucket-hash plan from :func:`ops.joins.bucket_hash_join` but
+    with a distinct-keys + ``is_in`` kernel, so probe rows are never
+    multiplied by duplicate build keys — true semi semantics."""
+    from .joins import _bucket_of
+
+    pschema = probe.schema()
+    pcols = list(pschema.names)
+    ptypes = [pschema.types[i] for i in range(len(pcols))]
+    ktype = ptypes[pcols.index(probe_key)]
+
+    # hash_array is dtype-sensitive: an int32 build key and int64 probe key
+    # hash differently, which would turn fp-free misses into FALSE NEGATIVES.
+    # Pin both sides to the probe key's Arrow type before any hashing.
+    def cast_key(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index(build_key)
+        return batch.set_column(idx, build_key, batch[build_key].cast(ktype))
+
+    build = build.map_batches(cast_key, batch_format="pyarrow")
+
+    m_bits, k = bloom_params(n_build_keys, fpp)
+    bm_ref = ray.put(bloom_build(build, build_key, m_bits, k))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = bloom_might_contain(ray.get(bm_ref), batch[probe_key],
+                                   m_bits, k)
+        return batch.filter(pa.array(mask))
+
+    survivors = probe.map_batches(prefilter, batch_format="pyarrow")
+
+    def tag(side: str, keycol: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {name: (batch[name].cast(typ) if name in batch.column_names
+                           else pa.nulls(n, typ))
+                    for name, typ in zip(pcols, ptypes)}
+            out = pa.table(cols)
+            if side == "r":  # build keys ride in the probe-key column
+                out = out.set_column(pcols.index(probe_key), probe_key,
+                                     batch[keycol].cast(
+                                         ptypes[pcols.index(probe_key)]))
+            return (out
+                    .append_column("__bucket",
+                                   _bucket_of(out[probe_key], n_buckets))
+                    .append_column("__side", pa.array([side] * n)))
+        return f
+
+    combined = survivors.map_batches(tag("l", probe_key),
+                                     batch_format="pyarrow").union(
+        build.map_batches(tag("r", build_key), batch_format="pyarrow"))
+
+    def verify(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lpt = g.filter(pc.equal(side, "l")).select(pcols)
+        rkeys = g.filter(pc.equal(side, "r"))[probe_key].unique()
+        return lpt.filter(pc.is_in(lpt[probe_key], value_set=rkeys))
+
+    return combined.groupby("__bucket").map_groups(verify,
+                                                   batch_format="pyarrow")

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 from ..oracle import KGConfig
 from ..ops.ann import brute_force_topk, lsh_topk
@@ -1054,6 +1054,111 @@ def q_top_tokens(sf_dir: str):
             .limit(20))
 
 
+def q_bloom_semi_urgent(sf_dir: str):
+    """Runtime-filter semi-join (ops/bloom.py::bloom_semi_join): revenue of
+    lineitems whose order is 1-URGENT. The urgent key set is folded into a
+    fixed-size Bloom bitmap (per-block partials OR-combined — the build never
+    collects keys), the lineitem scan drops ~80 % of rows against the
+    broadcast bitmap BEFORE any shuffle, and the few survivors go through a
+    bucket-co-partitioned ``is_in`` verify that makes the result exact. The
+    aggregate consumes per-bucket combiner partials (fixed-point cents, so
+    the sum is order-free and oracle-exact)."""
+    from ..ops.bloom import bloom_semi_join
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    line = _tbl(sf_dir, "lineitem",
+                ["l_orderkey", "l_returnflag", "l_extendedprice"])
+    # size the filter to the orders row count (footer metadata only); an
+    # over-estimate just lowers the false-positive rate
+    n_orders = pq.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")).num_rows
+    semi = bloom_semi_join(line, "l_orderkey", urgent, "o_orderkey",
+                           n_build_keys=max(64, n_orders // 4), fpp=0.01,
+                           n_buckets=buckets_for(parquet_bytes(
+                               os.path.join(sf_dir, "lineitem.parquet"))))
+
+    def agg_part(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "c": cents,
+                      "pn": pa.array(np.ones(batch.num_rows, np.int64))})
+        return (t.group_by("l_returnflag")
+                .aggregate([("c", "sum"), ("pn", "sum")])
+                .rename_columns(["l_returnflag", "c", "pn"]))
+
+    return (semi.map_batches(agg_part, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("c", alias_name="revenue_cents"),
+                       Sum("pn", alias_name="n")))
+
+
+def q_value_quantile_sketch(sf_dir: str) -> pa.Table:
+    """Mergeable-summary quantiles (ops/sketch.py::KLLSketch) over the
+    unbounded ``events.value`` domain — the scale path where the exact
+    fixed-point plan (q_price_quantiles) doesn't apply. Each block folds its
+    values into an O(k·log n) (level, value) summary; only summary rows cross
+    the wire and the driver merge is one recompaction. SQL-checked via the
+    export seam: the merged summary's (value, weight) rows are exported and
+    the oracle re-derives the SAME weighted quantile_disc rule from them —
+    the fold/merge kernel itself (rank error ≤1.5 % of n at k=256) is pinned
+    by tests/test_sketch.py."""
+    from ..ops.sketch import KLLSketch
+
+    ds = _tbl(sf_dir, "events", ["value"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sk = KLLSketch(k=256)
+        sk.add_batch(batch["value"].to_numpy(zero_copy_only=False))
+        lv, vals = sk.level_rows()
+        return pa.table({"level": pa.array(lv.astype(np.int64)),
+                         "v": pa.array(vals, pa.float64())})
+
+    rows = _collect_table(ds.map_batches(fold, batch_format="pyarrow"))
+    merged = KLLSketch.from_levels(rows["level"].to_numpy(zero_copy_only=False),
+                                   rows["v"].to_numpy(zero_copy_only=False),
+                                   k=256)
+    vals, wts = merged.items()
+    _export_for_oracle("kll_summary", pa.table({
+        "v": pa.array(vals, pa.float64()), "w": pa.array(wts, pa.int64())}))
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array([merged.quantile(q) for q in qs],
+                                       pa.float64())})
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-order counts per return flag
+    (ops/sketch.py::hll_partial): each block folds its keys into at most
+    flags × 2^p (register, rho) rows, so the distinct-count shuffle is
+    O(blocks · 2^p) integers no matter the corpus size. The checked output is
+    the combined register table — integers only, so the oracle (groupby max
+    over the exported per-block partials) is exact; the scalar estimate
+    formula (error ≈ 1.04/√m) is driver-side and pinned by tests."""
+    from ..ops.sketch import hll_partial
+
+    ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg, rho = hll_partial(
+            batch["l_orderkey"].to_numpy(zero_copy_only=False), p=10)
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "register": pa.array(reg, pa.int32()),
+                      "rho": pa.array(rho, pa.int64())})
+        return (t.group_by(["l_returnflag", "register"])
+                .aggregate([("rho", "max")])
+                .rename_columns(["l_returnflag", "register", "rho"]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    _export_for_oracle("hll_partials", _collect_table(parts))
+    return (parts.groupby(["l_returnflag", "register"])
+            .aggregate(Max("rho", alias_name="rho")))
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1081,6 +1186,9 @@ QUERIES = {
     "range_prior_pairs": q_range_prior_pairs,
     "price_quantiles": q_price_quantiles,
     "top_tokens": q_top_tokens,
+    "value_quantile_sketch": q_value_quantile_sketch,
+    "hll_distinct": q_hll_distinct,
+    "bloom_semi_urgent": q_bloom_semi_urgent,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1227,6 +1335,33 @@ ORACLE_SQL = {
             FROM documents)
           WHERE tok <> '' GROUP BY tok)
         ORDER BY n DESC, token LIMIT 20""",
+    # weighted quantile_disc over the exported KLL summary: smallest value
+    # whose cumulative weight reaches ceil(q * total) — byte-identical rule
+    # to KLLSketch.quantile
+    "value_quantile_sketch": """
+        WITH s AS (SELECT v, w
+                   FROM read_parquet('/tmp/ner_ray_oracle/kll_summary.parquet')),
+        c AS (SELECT v,
+                     sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(w) OVER () AS total
+              FROM s),
+        qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+        SELECT q, min(v) AS value
+        FROM qs JOIN c ON c.cum >= greatest(1, ceil(q * c.total))
+        GROUP BY q""",
+    "hll_distinct": """
+        SELECT l_returnflag, register, max(rho) AS rho
+        FROM read_parquet('/tmp/ner_ray_oracle/hll_partials.parquet')
+        GROUP BY 1, 2""",
+    "bloom_semi_urgent": """
+        SELECT l_returnflag,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS revenue_cents,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
