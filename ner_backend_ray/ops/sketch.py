@@ -1,4 +1,4 @@
-"""Mergeable sketches: KLL-style quantiles and HyperLogLog distincts.
+"""Mergeable sketches: KLL quantiles, HyperLogLog distincts, Count-Min freqs.
 
 The exact grouped-quantile path (`pipelines/queries.py::q_price_quantiles`)
 relies on a bounded value domain (fixed-point cents) — when the domain is
@@ -25,6 +25,7 @@ input count exactly at all times (asserted by the unit suite).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 
 class KLLSketch:
@@ -208,6 +209,56 @@ def hll_fold(registers: np.ndarray, rhos: np.ndarray, p: int = 10) -> np.ndarray
     np.maximum.at(dense, np.asarray(registers, np.int64),
                   np.asarray(rhos, np.int64))
     return dense
+
+
+def cms_partial(keys: np.ndarray, counts: np.ndarray | None = None,
+                d: int = 4, w: int = 2048) -> tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray]:
+    """Count-Min partial for one block (Cormode–Muthukrishnan 2005): sparse
+    (row, col, count) entries of the block's d×w counter matrix.
+
+    Each key increments one counter per row, at column
+    ``splitmix64(hash(key) ^ seed_row) % w`` — ``pd.util.hash_array``'s fixed
+    SipHash key plus a deterministic per-row seed makes every worker agree.
+    Partials from any number of blocks combine by (row, col) SUM (associative
+    + commutative — a plain groupby), so estimating frequencies over a 100-TB
+    key column ships at most ``blocks × d × w`` integer rows. ``counts`` lets
+    a caller fold pre-aggregated (key, count) pairs (e.g. a block's
+    value_counts) instead of raw occurrences."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1, w >= 2")
+    base = pd.util.hash_array(np.asarray(keys), categorize=False)
+    n = np.ones(len(base), np.int64) if counts is None \
+        else np.asarray(counts, np.int64)
+    dense = np.zeros((d, w), np.int64)
+    for i in range(d):
+        col = splitmix64(base ^ splitmix64(np.uint64(i + 1))) % np.uint64(w)
+        np.add.at(dense[i], col.astype(np.int64), n)
+    r, c = np.nonzero(dense)
+    return r.astype(np.int32), c.astype(np.int32), dense[r, c]
+
+
+def cms_fold(rows: np.ndarray, cols: np.ndarray, counts: np.ndarray,
+             d: int = 4, w: int = 2048) -> np.ndarray:
+    """Dense d×w matrix from sparse partial entries (sums duplicates, so
+    folding any concatenation of block partials in any order is exact)."""
+    dense = np.zeros((d, w), np.int64)
+    np.add.at(dense, (np.asarray(rows, np.int64), np.asarray(cols, np.int64)),
+              np.asarray(counts, np.int64))
+    return dense
+
+
+def cms_estimate(dense: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-query estimates: min over rows of each key's counter. Never
+    under-counts; over-counts by ≤ e/w · total with prob ≥ 1 − e^−d."""
+    d, w = dense.shape
+    base = pd.util.hash_array(np.asarray(keys), categorize=False)
+    est = np.full(len(base), np.iinfo(np.int64).max, np.int64)
+    for i in range(d):
+        col = (splitmix64(base ^ splitmix64(np.uint64(i + 1)))
+               % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, dense[i, col])
+    return est
 
 
 def hll_estimate(dense: np.ndarray, p: int = 10) -> float:

@@ -1159,6 +1159,37 @@ def q_hll_distinct(sf_dir: str):
             .aggregate(Max("rho", alias_name="rho")))
 
 
+def q_cms_token_counts(sf_dir: str):
+    """Count-Min token-frequency sketch (ops/sketch.py::cms_partial) over the
+    document corpus: each block tokenizes, value-counts, and folds its counts
+    into sparse (row, col, n) entries of a fixed 4×2048 counter matrix, so
+    frequency estimation over any corpus size shuffles at most blocks × d×w
+    integer rows. The combine is a (row, col) SUM groupby — associative, and
+    exactly what the oracle re-derives from the exported per-block partials.
+    Point estimates (min over rows; never under-count) are driver-side and
+    pinned by tests/test_sketch.py."""
+    from ..ops.sketch import cms_partial
+
+    ds = _tbl(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        r, c, n = cms_partial(
+            vc.field("values").to_numpy(zero_copy_only=False),
+            vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"row": pa.array(r, pa.int32()),
+                         "col": pa.array(c, pa.int32()),
+                         "pn": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    _export_for_oracle("cms_partials", _collect_table(parts))
+    return (parts.groupby(["row", "col"])
+            .aggregate(Sum("pn", alias_name="n")))
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1188,6 +1219,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "value_quantile_sketch": q_value_quantile_sketch,
     "hll_distinct": q_hll_distinct,
+    "cms_token_counts": q_cms_token_counts,
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
@@ -1352,6 +1384,10 @@ ORACLE_SQL = {
     "hll_distinct": """
         SELECT l_returnflag, register, max(rho) AS rho
         FROM read_parquet('/tmp/ner_ray_oracle/hll_partials.parquet')
+        GROUP BY 1, 2""",
+    "cms_token_counts": """
+        SELECT row, col, CAST(sum(pn) AS BIGINT) AS n
+        FROM read_parquet('/tmp/ner_ray_oracle/cms_partials.parquet')
         GROUP BY 1, 2""",
     "bloom_semi_urgent": """
         SELECT l_returnflag,

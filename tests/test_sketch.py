@@ -9,7 +9,8 @@ accuracy at p=10/12.
 import numpy as np
 import pytest
 
-from ner_backend_ray.ops.sketch import (KLLSketch, _clz64, hll_estimate,
+from ner_backend_ray.ops.sketch import (KLLSketch, _clz64, cms_estimate,
+                                        cms_fold, cms_partial, hll_estimate,
                                         hll_fold, hll_partial, splitmix64)
 
 RNG = np.random.default_rng(0xC0FFEE)
@@ -150,3 +151,44 @@ def test_hll_partial_bounds():
     reg, rho = hll_partial(RNG.integers(0, 2**62, 10_000), p=10)
     assert reg.min() >= 0 and reg.max() < 1024
     assert rho.min() >= 1 and rho.max() <= 64 - 10 + 1
+
+
+# ---------------------------------------------------------------------- CMS
+
+def test_cms_never_undercounts_and_bounded_overcount():
+    # zipf-ish token stream: heavy head + long tail
+    keys = np.concatenate([np.repeat(np.arange(20), 500),
+                           RNG.integers(1000, 100_000, 30_000)])
+    d, w = 4, 2048
+    r, c, n = cms_partial(keys, d=d, w=w)
+    dense = cms_fold(r, c, n, d=d, w=w)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(dense, uniq)
+    assert (est >= true).all()
+    eps_bound = np.e / w * len(keys)  # e/w · n, the paper's per-row bound
+    assert (est - true <= eps_bound).all()
+    # head keys should be near-exact at this load factor
+    assert (est[:20] - true[:20] <= 0.01 * len(keys)).all()
+
+
+def test_cms_fold_associative_and_weighted_counts():
+    keys = RNG.integers(0, 5_000, 40_000)
+    whole_r, whole_c, whole_n = cms_partial(keys, d=3, w=512)
+    whole = cms_fold(whole_r, whole_c, whole_n, d=3, w=512)
+    acc = np.zeros((3, 512), np.int64)
+    for chunk in np.array_split(keys, 9):
+        # fold each chunk via its value_counts (the pre-aggregated path)
+        u, cnt = np.unique(chunk, return_counts=True)
+        r, c, n = cms_partial(u, counts=cnt, d=3, w=512)
+        acc += cms_fold(r, c, n, d=3, w=512)
+    np.testing.assert_array_equal(whole, acc)
+
+
+def test_cms_string_keys():
+    toks = np.array(["alpha", "beta", "alpha", "gamma", "alpha", "beta"],
+                    dtype=object)
+    dense = cms_fold(*cms_partial(toks, d=4, w=64), d=4, w=64)
+    est = cms_estimate(dense, np.array(["alpha", "beta", "gamma", "absent"],
+                                       dtype=object))
+    assert est[0] >= 3 and est[1] >= 2 and est[2] >= 1
+    assert int(dense[0].sum()) == 6  # each row holds the full mass
