@@ -36,14 +36,24 @@ import ray.data
 from .sketch import splitmix64
 
 
+# Hard ceiling on the bitmap: 2^29 bits = 64 MiB. A runtime filter must stay
+# broadcast-cheap — beyond ~50M build keys the asked-for fpp would need a
+# bitmap too big to ship to every worker, so we cap m and let the REAL
+# false-positive rate rise instead (correctness never depends on fpp; the
+# verify pass restores exact semantics, the filter just prunes less).
+_MAX_M_BITS = 1 << 29
+
+
 def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """Standard sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2); m is rounded up
-    to a multiple of 64 so the bitmap packs into whole words."""
+    to a multiple of 64 so the bitmap packs into whole words, and capped at
+    ``_MAX_M_BITS`` (k re-derived for the capped m/n, so the filter stays
+    optimal for the size it actually gets)."""
     if not 0 < fpp < 1:
         raise ValueError("fpp must be in (0, 1)")
     n = max(1, int(n_keys))
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = (m + 63) & ~63
+    m = min((m + 63) & ~63, _MAX_M_BITS)
     k = max(1, int(round(m / n * math.log(2))))
     return m, k
 
@@ -71,18 +81,34 @@ def _local_bitmap(col, m_bits: int, k: int) -> np.ndarray:
 
 
 def bloom_build(keys: ray.data.Dataset, key: str,
-                m_bits: int, k: int) -> np.ndarray:
-    """Fold a key column into one packed bitmap: each block emits its m/8-byte
-    partial, the driver ORs them. Only bitmap bytes leave the workers — the
-    build never collects the key column."""
+                m_bits: int, k: int, fan_in: int = 32) -> np.ndarray:
+    """Fold a key column into one packed bitmap. Each block emits its m/8-byte
+    partial; partials OR-combine in distributed tree rounds of ``fan_in``
+    until few enough remain for one driver pass, so driver traffic is
+    O(fan_in · m/8) bytes however many blocks the scan produced (a flat
+    driver OR would pull blocks × m/8 — gigabytes at 100-TB scan widths).
+    Only bitmap bytes leave the workers — the build never collects keys."""
 
     def fold(batch: pa.Table) -> pa.Table:
         bm = _local_bitmap(batch[key], m_bits, k)
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    parts = keys.map_batches(fold, batch_format="pyarrow").take_all()
+    def or_batch(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits // 8, np.uint8)
+        for bm in batch["bm"]:
+            acc |= np.frombuffer(bm.as_py(), np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = keys.map_batches(fold, batch_format="pyarrow")
+    n_parts = parts.count()
+    while n_parts > fan_in:
+        parts = (parts.repartition(max(1, -(-n_parts // fan_in)))
+                 .map_batches(or_batch, batch_format="pyarrow",
+                              batch_size=None))
+        n_parts = parts.count()
+
     out = np.zeros(m_bits // 8, np.uint8)
-    for row in parts:
+    for row in parts.take_all():
         out |= np.frombuffer(row["bm"], np.uint8)
     return out
 

@@ -83,6 +83,20 @@ def test_semi_join_casts_mismatched_key_dtype(ray_session):
     assert sorted(got["k"].tolist()) == list(range(0, 200, 2))
 
 
+def test_bloom_params_capped():
+    m, k = bloom_params(10**9, 0.01)  # uncapped would need ~9.6e9 bits
+    assert m == 1 << 29 and m % 64 == 0
+    assert k == 1  # re-derived for the capped bits-per-key ratio
+
+
+def test_bloom_build_tree_reduction_matches_local(ray_session):
+    keys = RNG.integers(0, 10**8, 5_000)
+    m, k = bloom_params(len(keys), 0.05)
+    ds = ray.data.from_arrow(pa.table({"x": keys})).repartition(40)
+    got = bloom_build(ds, "x", m, k, fan_in=4)  # forces ≥2 OR rounds
+    np.testing.assert_array_equal(got, _local_bitmap(pa.array(keys), m, k))
+
+
 def test_bloom_build_distributed_matches_local(ray_session):
     keys = RNG.integers(0, 10**8, 10_000)
     m, k = bloom_params(len(keys), 0.02)
