@@ -124,43 +124,36 @@ def bloom_might_contain(bitmap: np.ndarray, col,
     return bits[pos].all(axis=1)
 
 
-def bloom_semi_join(probe: ray.data.Dataset, probe_key: str,
+def _prepared_build(probe: ray.data.Dataset, probe_key: str,
                     build: ray.data.Dataset, build_key: str,
-                    n_build_keys: int, fpp: float = 0.01,
-                    n_buckets: int = 32) -> ray.data.Dataset:
-    """Exact semi-join ``probe ⋉ build``: Bloom prefilter (no shuffle) then a
-    bucket co-partitioned ``is_in`` verify over the survivors only.
-
-    ``n_build_keys`` sizes the filter (an estimate is fine — a low guess only
-    raises the false-positive rate, never costs correctness). The verify pass
-    reuses the bucket-hash plan from :func:`ops.joins.bucket_hash_join` but
-    with a distinct-keys + ``is_in`` kernel, so probe rows are never
-    multiplied by duplicate build keys — true semi semantics."""
-    from .joins import _bucket_of
-
+                    n_build_keys: int, fpp: float):
+    """Shared semi/anti front end: pin the build key to the probe key's Arrow
+    type (hash_array is dtype-sensitive — an int32 build key and int64 probe
+    key hash differently, turning fp-free misses into FALSE NEGATIVES), build
+    the Bloom bitmap, and broadcast it once via ray.put."""
     pschema = probe.schema()
     pcols = list(pschema.names)
     ptypes = [pschema.types[i] for i in range(len(pcols))]
     ktype = ptypes[pcols.index(probe_key)]
 
-    # hash_array is dtype-sensitive: an int32 build key and int64 probe key
-    # hash differently, which would turn fp-free misses into FALSE NEGATIVES.
-    # Pin both sides to the probe key's Arrow type before any hashing.
     def cast_key(batch: pa.Table) -> pa.Table:
         idx = batch.column_names.index(build_key)
         return batch.set_column(idx, build_key, batch[build_key].cast(ktype))
 
     build = build.map_batches(cast_key, batch_format="pyarrow")
-
     m_bits, k = bloom_params(n_build_keys, fpp)
     bm_ref = ray.put(bloom_build(build, build_key, m_bits, k))
+    return build, bm_ref, m_bits, k, pcols, ptypes
 
-    def prefilter(batch: pa.Table) -> pa.Table:
-        mask = bloom_might_contain(ray.get(bm_ref), batch[probe_key],
-                                   m_bits, k)
-        return batch.filter(pa.array(mask))
 
-    survivors = probe.map_batches(prefilter, batch_format="pyarrow")
+def _bucket_verify(survivors: ray.data.Dataset, build: ray.data.Dataset,
+                   probe_key: str, build_key: str,
+                   pcols: list, ptypes: list, n_buckets: int,
+                   anti: bool) -> ray.data.Dataset:
+    """Bucket co-partition the Bloom survivors with the distinct build keys
+    and apply a per-bucket ``is_in`` (semi) / ``NOT is_in`` (anti) — exactness
+    restored over only the rows the filter could not decide."""
+    from .joins import _bucket_of
 
     def tag(side: str, keycol: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -187,7 +180,67 @@ def bloom_semi_join(probe: ray.data.Dataset, probe_key: str,
         side = g["__side"]
         lpt = g.filter(pc.equal(side, "l")).select(pcols)
         rkeys = g.filter(pc.equal(side, "r"))[probe_key].unique()
-        return lpt.filter(pc.is_in(lpt[probe_key], value_set=rkeys))
+        hit = pc.is_in(lpt[probe_key], value_set=rkeys)
+        return lpt.filter(pc.invert(hit) if anti else hit)
 
     return combined.groupby("__bucket").map_groups(verify,
                                                    batch_format="pyarrow")
+
+
+def bloom_semi_join(probe: ray.data.Dataset, probe_key: str,
+                    build: ray.data.Dataset, build_key: str,
+                    n_build_keys: int, fpp: float = 0.01,
+                    n_buckets: int = 32) -> ray.data.Dataset:
+    """Exact semi-join ``probe ⋉ build``: Bloom prefilter (no shuffle) then a
+    bucket co-partitioned ``is_in`` verify over the survivors only.
+
+    ``n_build_keys`` sizes the filter (an estimate is fine — a low guess only
+    raises the false-positive rate, never costs correctness). The verify pass
+    reuses the bucket-hash plan from :func:`ops.joins.bucket_hash_join` but
+    with a distinct-keys + ``is_in`` kernel, so probe rows are never
+    multiplied by duplicate build keys — true semi semantics."""
+    build, bm_ref, m_bits, k, pcols, ptypes = _prepared_build(
+        probe, probe_key, build, build_key, n_build_keys, fpp)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = bloom_might_contain(ray.get(bm_ref), batch[probe_key],
+                                   m_bits, k)
+        return batch.filter(pa.array(mask))
+
+    survivors = probe.map_batches(prefilter, batch_format="pyarrow")
+    return _bucket_verify(survivors, build, probe_key, build_key,
+                          pcols, ptypes, n_buckets, anti=False)
+
+
+def bloom_anti_join(probe: ray.data.Dataset, probe_key: str,
+                    build: ray.data.Dataset, build_key: str,
+                    n_build_keys: int, fpp: float = 0.01,
+                    n_buckets: int = 32) -> ray.data.Dataset:
+    """Exact anti-join ``probe ▷ build`` (rows of probe whose key appears in
+    no build row): a Bloom miss proves NON-membership, so rows rejected by
+    the filter are final anti matches and never enter a shuffle; only the
+    (few, for a selective build side) Bloom hits route through the bucket
+    co-partitioned ``NOT is_in`` verify. Result = definite-miss branch ∪
+    verified-survivor branch.
+
+    Plan-shape note for 100-TB probes: the two branches are two consumers of
+    ``probe``, so a lazy upstream scan executes twice — column-pruned reads,
+    no shuffle on the definite branch. The alternative (one scan, every probe
+    row through the bucket shuffle) moves the full probe through the object
+    store; re-reading pruned columns from storage is the cheaper side of that
+    trade, and callers holding a tiny probe can ``materialize()`` it first."""
+    build, bm_ref, m_bits, k, pcols, ptypes = _prepared_build(
+        probe, probe_key, build, build_key, n_build_keys, fpp)
+
+    def split(keep_hits: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = bloom_might_contain(ray.get(bm_ref), batch[probe_key],
+                                       m_bits, k)
+            return batch.filter(pa.array(mask if keep_hits else ~mask))
+        return f
+
+    definite = probe.map_batches(split(False), batch_format="pyarrow")
+    survivors = probe.map_batches(split(True), batch_format="pyarrow")
+    verified = _bucket_verify(survivors, build, probe_key, build_key,
+                              pcols, ptypes, n_buckets, anti=True)
+    return definite.union(verified)

@@ -1190,6 +1190,140 @@ def q_cms_token_counts(sf_dir: str):
             .aggregate(Sum("pn", alias_name="n")))
 
 
+def q_anti_no_urgent(sf_dir: str):
+    """Runtime-filter ANTI-join (ops/bloom.py::bloom_anti_join): customers who
+    never placed a 1-URGENT order. A Bloom miss PROVES non-membership, so
+    most anti matches are final after the broadcast-bitmap scan and never
+    shuffle; only Bloom hits route through the bucket-co-partitioned
+    ``NOT is_in`` verify. The NOT-EXISTS shape of TPC-H Q22."""
+    from ..ops.bloom import bloom_anti_join
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    urgent = _tbl(sf_dir, "orders",
+                  ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    n_orders = pq.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")).num_rows
+    anti = bloom_anti_join(cust, "c_custkey", urgent, "o_custkey",
+                           n_build_keys=max(64, n_orders // 4), fpp=0.01)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "c_name": batch["c_name"],
+                         "acctbal_cents": _cents(batch["c_acctbal"])})
+
+    return anti.map_batches(finish, batch_format="pyarrow")
+
+
+def q_hash_split_counts(sf_dir: str):
+    """Deterministic train/valid/test split (ops/sampling.py::hash_split):
+    the assignment is a pure function of doc_id (no RNG, no row order, no
+    shuffle — stable under re-runs and repartitioning), then per-split
+    counts/char totals via combiner partials. Pinned to the SQL-expressible
+    knuth32 hash so the oracle recomputes the split bit-for-bit; production
+    splits default to splitmix64 (module docstring)."""
+    from ..ops.sampling import hash_split
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "n_chars"])
+    split = hash_split(ds, "doc_id", hash_fn="knuth32")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["split", "n_chars"])
+        agg = t.group_by("split").aggregate(
+            [("n_chars", "sum"), ([], "count_all")])
+        return agg.rename_columns(["split", "pchars", "pn"])
+
+    return (split.map_batches(partial, batch_format="pyarrow")
+            .groupby("split")
+            .aggregate(Sum("pchars", alias_name="chars"),
+                       Sum("pn", alias_name="n")))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample (ops/sampling.py::stratified_sample):
+    the 3 docs with the smallest (hash(doc_id), doc_id) per language — a
+    reproducible uniform draw per stratum; only k·groups rows reach the one
+    small shuffle (local-top-k combiner). knuth32 so the oracle's
+    row_number() re-derives the identical draw."""
+    from ..ops.sampling import stratified_sample
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", "doc_id", k=3, hash_fn="knuth32")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"], "doc_id": batch["doc_id"],
+                         "h32": batch["h"].cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_pivot(sf_dir: str):
+    """Crosstab / pivot (ops/reshape.py::pivot_counts): events per day ×
+    event-type, one wide row per day. Per-batch (day, type) count partials
+    shuffle at most days × types rows per block; the per-day group pivots to
+    fixed columns. The SQL SUM(CASE WHEN ...) pivot as a dataflow op."""
+    from ..ops.reshape import pivot_counts
+
+    ds = _tbl(sf_dir, "events", ["ts", "event_type"])
+
+    def with_day(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                         "event_type": batch["event_type"]})
+
+    return pivot_counts(ds.map_batches(with_day, batch_format="pyarrow"),
+                        row_key="day", col_key="event_type",
+                        categories=["click", "error", "purchase",
+                                    "signup", "view"])
+
+
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate (ops/reshape.py::rollup_expand):
+    order revenue at (region, nation), (region, ALL), (ALL, ALL) levels.
+    The distributed work is ONE finest-level combiner groupby (25 rows out);
+    coarser levels re-aggregate that tiny result driver-side — the rollup
+    hierarchy never re-scans or re-shuffles the fact table."""
+    from ..ops.reshape import rollup_expand
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                           nat["n_name"].to_pylist()))
+    region_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                         nat["n_regionkey"].to_pylist()))
+    region_name = dict(zip(reg["r_regionkey"].to_pylist(),
+                           reg["r_name"].to_pylist()))
+    small_ref = ray.put((nation_name, region_of, region_name))
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = gated_dim_join(
+        orders, os.path.join(sf_dir, "customer.parquet"), key="o_custkey",
+        columns=["c_custkey", "c_nationkey"],
+        rename=["o_custkey", "c_nationkey"],
+        left_bytes=parquet_bytes(os.path.join(sf_dir, "orders.parquet")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nat_name, reg_of, reg_name = ray.get(small_ref)
+        nk = batch["c_nationkey"].to_pylist()
+        t = pa.table({
+            "region": pa.array([reg_name[reg_of[k]] for k in nk], pa.string()),
+            "nation": pa.array([nat_name[k] for k in nk], pa.string()),
+            "cents": _cents(batch["o_totalprice"]),
+        })
+        agg = t.group_by(["region", "nation"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return agg.rename_columns(["region", "nation", "pcents", "pn"])
+
+    finest = (joined.map_batches(partial, batch_format="pyarrow")
+              .groupby(["region", "nation"])
+              .aggregate(Sum("pcents", alias_name="rev_cents"),
+                         Sum("pn", alias_name="n_orders")))
+    return rollup_expand(_collect_table(finest),
+                         levels=["region", "nation"],
+                         value_cols=["rev_cents", "n_orders"])
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1221,6 +1355,11 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_token_counts": q_cms_token_counts,
     "bloom_semi_urgent": q_bloom_semi_urgent,
+    "anti_no_urgent": q_anti_no_urgent,
+    "hash_split_counts": q_hash_split_counts,
+    "stratified_sample": q_stratified_sample,
+    "events_pivot": q_events_pivot,
+    "rollup_revenue": q_rollup_revenue,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1398,6 +1537,59 @@ ORACLE_SQL = {
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                              WHERE o_orderpriority = '1-URGENT')
         GROUP BY l_returnflag""",
+    "anti_no_urgent": """
+        SELECT c_custkey, c_name,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')""",
+    "hash_split_counts": """
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               count(*) AS n
+        FROM (SELECT ((doc_id * 2654435761) % 4294967296) * 100
+                         // 4294967296 AS b,
+                     n_chars
+              FROM documents)
+        GROUP BY 1""",
+    "stratified_sample": """
+        SELECT lang, doc_id, h32 FROM (
+            SELECT lang, doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS h32,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS rn
+            FROM documents) t
+        WHERE rn <= 3""",
+    "events_pivot": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS view,
+               count(*) AS total
+        FROM events GROUP BY 1""",
+    "rollup_revenue": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS rev_cents,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,

@@ -103,3 +103,36 @@ def test_bloom_build_distributed_matches_local(ray_session):
     ds = ray.data.from_arrow(pa.table({"x": keys})).repartition(6)
     np.testing.assert_array_equal(bloom_build(ds, "x", m, k),
                                   _local_bitmap(pa.array(keys), m, k))
+
+
+def test_bloom_anti_join_matches_set_difference(ray_session):
+    from ner_backend_ray.ops.bloom import bloom_anti_join
+    probe_keys = np.arange(1_000, dtype=np.int64)
+    build_keys = RNG.choice(probe_keys, 300, replace=False)
+    probe = ray.data.from_arrow(pa.table({"k": probe_keys,
+                                          "v": probe_keys * 2})).repartition(7)
+    build = ray.data.from_arrow(pa.table({"bk": build_keys})).repartition(3)
+    got = bloom_anti_join(probe, "k", build, "bk",
+                          n_build_keys=300).to_pandas()
+    exp = sorted(set(probe_keys.tolist()) - set(build_keys.tolist()))
+    assert sorted(got["k"].tolist()) == exp
+    assert (got["v"] == got["k"] * 2).all()
+
+
+def test_bloom_anti_join_empty_build(ray_session):
+    from ner_backend_ray.ops.bloom import bloom_anti_join
+    probe = ray.data.from_arrow(pa.table({"k": np.arange(50, dtype=np.int64)}))
+    build = ray.data.from_arrow(
+        pa.table({"bk": pa.array([], pa.int64())}))
+    got = bloom_anti_join(probe, "k", build, "bk", n_build_keys=1).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(50))
+
+
+def test_bloom_anti_join_casts_mismatched_key_dtype(ray_session):
+    from ner_backend_ray.ops.bloom import bloom_anti_join
+    probe = ray.data.from_arrow(
+        pa.table({"k": np.arange(200, dtype=np.int64)}))
+    build = ray.data.from_arrow(
+        pa.table({"bk": pa.array(range(0, 200, 2), pa.int32())}))
+    got = bloom_anti_join(probe, "k", build, "bk", n_build_keys=100).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(1, 200, 2))

@@ -1,0 +1,46 @@
+"""Pivot/crosstab and ROLLUP expansion (ops/reshape.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ner_backend_ray.ops.reshape import pivot_counts, rollup_expand
+
+RNG = np.random.default_rng(11)
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    n = 3_000
+    df = pd.DataFrame({"day": RNG.choice(["d1", "d2", "d3"], n),
+                       "ev": RNG.choice(["x", "y", "z", "other"], n)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (pivot_counts(ds, "day", "ev", categories=["x", "y", "z"])
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    ct = pd.crosstab(df["day"], df["ev"])
+    for _, row in got.iterrows():
+        for c in ("x", "y", "z"):
+            assert row[c] == ct.loc[row["day"], c]
+        # unlisted category still counts toward total
+        assert row["total"] == ct.loc[row["day"]].sum()
+    assert got["total"].sum() == n
+
+
+def test_rollup_expand_levels_and_sentinels():
+    finest = pa.table({
+        "region": ["EU", "EU", "US"],
+        "nation": ["FR", "DE", "US"],
+        "v": pa.array([10, 20, 5], pa.int64()),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = rollup_expand(finest, ["region", "nation"], ["v", "n"]).to_pandas()
+    assert len(out) == 3 + 2 + 1
+    eu = out[(out.region == "EU") & (out.nation == "ALL")].iloc[0]
+    assert eu.v == 30 and eu.n == 3
+    tot = out[(out.region == "ALL") & (out.nation == "ALL")].iloc[0]
+    assert tot.v == 35 and tot.n == 6
+    # finest rows pass through untouched
+    fr = out[(out.region == "EU") & (out.nation == "FR")].iloc[0]
+    assert fr.v == 10 and fr.n == 1
