@@ -1324,6 +1324,105 @@ def q_rollup_revenue(sf_dir: str):
                          value_cols=["rev_cents", "n_orders"])
 
 
+def q_left_join_urgent(sf_dir: str):
+    """LEFT OUTER bucket hash join (ops/joins.py::bucket_hash_join how=left):
+    every customer with their urgent orders, unmatched customers kept.
+    Null-extended keys are filled with -1 on both sides so the value compare
+    never depends on engine null-sort semantics."""
+    cust = _tbl(sf_dir, "customer", ["c_custkey"])
+    urgent = _tbl(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey", "o_orderkey"])
+                   .rename_columns(["c_custkey", "o_orderkey"]),
+        batch_format="pyarrow")
+    out = bucket_hash_join(
+        cust, urgent, "c_custkey", how="left",
+        n_buckets=buckets_for(parquet_bytes(
+            os.path.join(sf_dir, "orders.parquet"))))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "o_orderkey": batch["o_orderkey"].fill_null(-1)})
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def q_tfidf_rare_terms(sf_dir: str):
+    """TF-IDF term ranking, integer-exact: per language, the top-5 tokens by
+    score = (tf · 10⁶) // df — monotone in tf/df, so it ranks like tf·idf's
+    common-word suppression but stays in exact int64 arithmetic (no float
+    log, so the oracle is bit-exact). A genuinely multi-stage text pipeline:
+    vectorized tokenize/explode → per-block (lang, token) tf partials AND
+    per-block distinct-(token, doc) df partials (each doc lives in one
+    block, so block-level distinct sums are exact) → two combiner groupbys →
+    token-bucketed hash join of tf with df → local-top-k combiner →
+    per-lang final top-k."""
+    ds = _tbl(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def explode(batch: pa.Table):
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return (pa.table({
+            "lang": batch["lang"].take(pa.array(parent[keep])),
+            "doc_id": batch["doc_id"].take(pa.array(parent[keep])),
+            "token": flat.filter(pa.array(keep))}))
+
+    def tf_part(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        agg = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "token", "ptf"])
+
+    def df_part(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        pairs = t.group_by(["token", "doc_id"]).aggregate([])
+        agg = pairs.group_by("token").aggregate([([], "count_all")])
+        return agg.rename_columns(["token", "pdf"])
+
+    tf = (ds.map_batches(tf_part, batch_format="pyarrow")
+          .groupby(["lang", "token"])
+          .aggregate(Sum("ptf", alias_name="tf")))
+    df = (ds.map_batches(df_part, batch_format="pyarrow")
+          .groupby("token")
+          .aggregate(Sum("pdf", alias_name="df")))
+    joined = bucket_hash_join(tf, df, "token", n_buckets=buckets_for(
+        parquet_bytes(os.path.join(sf_dir, "documents.parquet"))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.multiply(batch["tf"], pa.scalar(1_000_000)),
+                      batch["df"])  # int64 floor division
+        return batch.append_column("score", s.cast(pa.int64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    K = 5
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[("lang", "ascending"),
+                                                ("score", "descending"),
+                                                ("token", "ascending")])
+        t = batch.take(idx)
+        g = t["lang"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new).astype(np.int64)
+        rank = np.arange(len(g), dtype=np.int64) - starts[np.cumsum(new) - 1]
+        return t.filter(pa.array(rank < K))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("score", "descending"),
+                                                ("token", "ascending")])
+        return group.take(idx[:K])
+
+    return (scored.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(final_topk, batch_format="pyarrow"))
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1360,6 +1459,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "events_pivot": q_events_pivot,
     "rollup_revenue": q_rollup_revenue,
+    "left_join_urgent": q_left_join_urgent,
+    "tfidf_rare_terms": q_tfidf_rare_terms,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1590,6 +1691,29 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)""",
+    "left_join_urgent": """
+        SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_orderkey
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT') u
+          ON c_custkey = u.o_custkey""",
+    "tfidf_rare_terms": r"""
+        WITH toks AS (
+            SELECT lang, doc_id,
+                   unnest(regexp_extract_all(text, '\S+')) AS token
+            FROM documents),
+        tf AS (SELECT lang, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY 1)
+        SELECT lang, token, tf, df, score FROM (
+            SELECT tf.lang, tf.token AS token, tf.tf, df.df,
+                   (tf.tf * 1000000) // df.df AS score,
+                   row_number() OVER (PARTITION BY tf.lang
+                                      ORDER BY (tf.tf * 1000000) // df.df
+                                                   DESC,
+                                               tf.token) AS rn
+            FROM tf JOIN df ON tf.token = df.token) t
+        WHERE rn <= 5""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
