@@ -1423,6 +1423,28 @@ def q_tfidf_rare_terms(sf_dir: str):
             .map_groups(final_topk, batch_format="pyarrow"))
 
 
+def q_pagerank_parts(sf_dir: str):
+    """Iterative PageRank (ops/pagerank.py::pagerank_int) over the undirected
+    order↔part purchase graph (order nodes 2k, part nodes 2k+1; one edge PER
+    LINEITEM ROW — multi-edges keep their multiplicity, mirrored in the
+    oracle's UNION ALL). 3 iterations of scaled-int64 arithmetic, so the
+    normally rows-only-checkable iterative-algorithm family gets a full
+    value-hash oracle (the 3 iterations unrolled as DuckDB CTEs)."""
+    from ..ops.pagerank import pagerank_int
+
+    line = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({"src": np.concatenate([o, p]),
+                         "dst": np.concatenate([p, o])})
+
+    edges = line.map_batches(mkedges, batch_format="pyarrow")
+    return pagerank_int(edges, n_iters=3, n_buckets=buckets_for(
+        2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1461,6 +1483,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
+    "pagerank_parts": q_pagerank_parts,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1714,6 +1737,43 @@ ORACLE_SQL = {
                                                tf.token) AS rn
             FROM tf JOIN df ON tf.token = df.token) t
         WHERE rn <= 5""",
+    "pagerank_parts": """
+        WITH edges AS (
+            SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst
+            FROM lineitem),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges) u),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        params AS (SELECT 1000000000000 // count(*) AS init,
+                          (15 * (1000000000000 // count(*))) // 100 AS base
+                   FROM nodes),
+        r0 AS (SELECT node, (SELECT init FROM params) AS rank FROM nodes),
+        c1 AS (SELECT e.dst AS node, sum(r0.rank // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src
+               JOIN r0 ON r0.node = e.src GROUP BY 1),
+        r1 AS (SELECT n.node,
+                      (SELECT base FROM params)
+                          + (85 * COALESCE(c1.s, 0)) // 100 AS rank
+               FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        c2 AS (SELECT e.dst AS node, sum(r1.rank // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src
+               JOIN r1 ON r1.node = e.src GROUP BY 1),
+        r2 AS (SELECT n.node,
+                      (SELECT base FROM params)
+                          + (85 * COALESCE(c2.s, 0)) // 100 AS rank
+               FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+        c3 AS (SELECT e.dst AS node, sum(r2.rank // d.outdeg) AS s
+               FROM edges e JOIN deg d ON e.src = d.src
+               JOIN r2 ON r2.node = e.src GROUP BY 1),
+        r3 AS (SELECT n.node,
+                      (SELECT base FROM params)
+                          + (85 * COALESCE(c3.s, 0)) // 100 AS rank
+               FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
