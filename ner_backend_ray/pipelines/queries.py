@@ -1445,6 +1445,64 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_grouped_moments(sf_dir: str):
+    """Exact grouped statistical moments (variance/covariance family) in pure
+    int64: per (returnflag, linestatus), n, Σx, Σx², Σy, Σy², Σxy with
+    x = quantity cents and y = discount basis points. Moments are the
+    combiner-friendly form of variance/corr (var = (nΣx² − (Σx)²)/n²) and
+    stay integer-exact, so the oracle hashes bit-for-bit. Width check: x ≤
+    5 000, x² ≤ 2.5·10⁷ → Σx² safely inside int64 past 10¹¹ rows; derived
+    float stats are one driver-side division away."""
+    ds = _tbl(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch["l_quantity"])
+        y = pc.floor(pc.add(pc.multiply(batch["l_discount"],
+                                        pa.scalar(10_000.0)),
+                            pa.scalar(0.5))).cast(pa.int64())
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"],
+                      "x": x, "xx": pc.multiply(x, x),
+                      "y": y, "yy": pc.multiply(y, y),
+                      "xy": pc.multiply(x, y),
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in ("x", "xx", "y", "yy", "xy", "one")])
+        return agg.rename_columns(["l_returnflag", "l_linestatus",
+                                   "px", "pxx", "py", "pyy", "pxy", "pn"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("px", alias_name="sx"),
+                       Sum("pxx", alias_name="sxx"),
+                       Sum("py", alias_name="sy"),
+                       Sum("pyy", alias_name="syy"),
+                       Sum("pxy", alias_name="sxy"),
+                       Sum("pn", alias_name="n")))
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram as a combiner aggregate: orders bucketed by
+    ⌊totalprice / 50 000⌋ with per-bin count and revenue cents. The binning
+    is a stateless vectorized map, so the shuffle carries only bins × blocks
+    rows whatever the fact-table size."""
+    ds = _tbl(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(batch["o_totalprice"],
+                               pa.scalar(50_000.0))).cast(pa.int64())
+        t = pa.table({"bin": b, "pc_": _cents(batch["o_totalprice"]),
+                      "pn": pa.array(np.ones(batch.num_rows, np.int64))})
+        agg = t.group_by("bin").aggregate([("pc_", "sum"), ("pn", "sum")])
+        return agg.rename_columns(["bin", "pc_", "pn"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("pc_", alias_name="cents"),
+                       Sum("pn", alias_name="n")))
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1484,6 +1542,8 @@ QUERIES = {
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
+    "grouped_moments": q_grouped_moments,
+    "price_histogram": q_price_histogram,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1774,6 +1834,24 @@ ORACLE_SQL = {
                           + (85 * COALESCE(c3.s, 0)) // 100 AS rank
                FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
         SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
+    "grouped_moments": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               count(*) AS n
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY l_returnflag, l_linestatus""",
+    "price_histogram": """
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+               count(*) AS n
+        FROM orders GROUP BY 1""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
