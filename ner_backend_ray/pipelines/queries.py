@@ -1503,6 +1503,47 @@ def q_price_histogram(sf_dir: str):
                        Sum("pn", alias_name="n")))
 
 
+def q_segment_names(sf_dir: str):
+    """Grouped ordered collect/string_agg: per market segment, the
+    comma-joined names of its top-5 customers by (acctbal DESC, name). The
+    local-top-k combiner bounds the shuffle at k·segments rows; the group
+    concatenation is a vectorized Arrow binary_join over the sorted slice —
+    SQL's string_agg(... ORDER BY) as a dataflow op."""
+    ds = _tbl(sf_dir, "customer", ["c_mktsegment", "c_name", "c_acctbal"])
+    K = 5
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_mktsegment": batch["c_mktsegment"],
+                      "c_name": batch["c_name"],
+                      "bal": _cents(batch["c_acctbal"])})
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("c_mktsegment", "ascending"),
+                                            ("bal", "descending"),
+                                            ("c_name", "ascending")])
+        t = t.take(idx)
+        g = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new).astype(np.int64)
+        rank = np.arange(len(g), dtype=np.int64) - starts[np.cumsum(new) - 1]
+        return t.filter(pa.array(rank < K))
+
+    def concat_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("bal", "descending"),
+                                                ("c_name", "ascending")])
+        names = group["c_name"].take(idx[:K])
+        joined = pc.binary_join(
+            pa.array([names.to_pylist()], pa.list_(pa.string())),
+            pa.scalar(","))
+        return pa.table({"c_mktsegment": group["c_mktsegment"].slice(0, 1),
+                         "top_names": joined})
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .map_groups(concat_group, batch_format="pyarrow"))
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1544,6 +1585,7 @@ QUERIES = {
     "pagerank_parts": q_pagerank_parts,
     "grouped_moments": q_grouped_moments,
     "price_histogram": q_price_histogram,
+    "segment_names": q_segment_names,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1852,6 +1894,19 @@ ORACLE_SQL = {
                sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
                count(*) AS n
         FROM orders GROUP BY 1""",
+    "segment_names": """
+        SELECT c_mktsegment,
+               string_agg(c_name, ',' ORDER BY bal DESC, c_name)
+                   AS top_names
+        FROM (SELECT c_mktsegment, c_name,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+                     row_number() OVER (
+                         PARTITION BY c_mktsegment
+                         ORDER BY CAST(floor(c_acctbal * 100 + 0.5)
+                                       AS BIGINT) DESC, c_name) AS rn
+              FROM customer) t
+        WHERE rn <= 5
+        GROUP BY c_mktsegment""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
