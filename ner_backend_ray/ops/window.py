@@ -91,3 +91,40 @@ def session_windows(events: ray.data.Dataset, ts_col: str = "ts",
         return out.reset_index(drop=True)
 
     return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def partitioned_running(events: ray.data.Dataset, key_col: str,
+                        order_cols: list[str], value_col: str,
+                        lag_fill: int = -1) -> ray.data.Dataset:
+    """SQL window functions as a dataflow op: per-``key_col`` partition,
+    ordered by ``order_cols``, emit running sum, lag(value) and row_number
+    over ``value_col`` (int64 — callers fix-point floats first so the math
+    is exact on both engine and oracle).
+
+    Plan shape: one groupby(key) shuffle; inside each group the analytics
+    are a vectorized sort + cumsum/shift — no per-row Python. Partitions
+    must fit a worker (true for per-user/per-entity streams); a key whose
+    history exceeds that needs range-partitioning by (key, time) with
+    carry-in offsets, which is the checkpointed runner's segment pattern,
+    not this op's.
+
+    Returns all input columns plus ``running`` (cumulative sum inclusive),
+    ``prev`` (lagged value, ``lag_fill`` for the partition head) and ``rn``
+    (1-based dense position)."""
+    import numpy as np
+
+    def analyze(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in order_cols])
+        t = g.take(idx)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = np.empty_like(v)
+        prev[0] = lag_fill
+        prev[1:] = v[:-1]
+        return (t.append_column("running", pa.array(np.cumsum(v)))
+                 .append_column("prev", pa.array(prev))
+                 .append_column("rn", pa.array(
+                     np.arange(1, len(v) + 1, dtype=np.int64))))
+
+    return events.groupby(key_col).map_groups(analyze,
+                                              batch_format="pyarrow")

@@ -1544,6 +1544,76 @@ def q_segment_names(sf_dir: str):
             .map_groups(concat_group, batch_format="pyarrow"))
 
 
+def q_running_total(sf_dir: str):
+    """SQL window functions (ops/window.py::partitioned_running): per-user
+    event stream ordered by (ts, event_id) with inclusive running sum,
+    lag(value) and row_number — one groupby(user) shuffle, vectorized
+    cumsum/shift inside the group, int64 cents so the oracle's
+    SUM ... OVER / LAG are bit-exact."""
+    from ..ops.window import partitioned_running
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "ts_i": batch["ts"].cast(pa.int64()),
+                         "vc": _cents(batch["value"])})
+
+    out = partitioned_running(ds.map_batches(prep, batch_format="pyarrow"),
+                              key_col="user_id",
+                              order_cols=["ts_i", "event_id"],
+                              value_col="vc")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "running", "prev", "rn"]),
+        batch_format="pyarrow")
+
+
+def q_dates_intersect(sf_dir: str):
+    """SQL INTERSECT (ops/setops.py::distinct_intersect): order dates that
+    carry BOTH an urgent and a non-urgent order. Per-block distinct + side
+    bits, one presence groupby — only the distinct date domain shuffles."""
+    from ..ops.setops import distinct_intersect
+
+    def side(pred):
+        def f(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pred(batch))
+            return pa.table({"day": pc.strftime(sub["o_orderdate"],
+                                                format="%Y-%m-%d")})
+        return f
+
+    orders = _tbl(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+    urgent = orders.map_batches(
+        side(lambda b: pc.equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    rest = orders.map_batches(
+        side(lambda b: pc.not_equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    return distinct_intersect(urgent, rest, ["day"])
+
+
+def q_dates_except(sf_dir: str):
+    """SQL EXCEPT (ops/setops.py::distinct_except): order dates with an
+    urgent order but NO non-urgent one."""
+    from ..ops.setops import distinct_except
+
+    def side(pred):
+        def f(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pred(batch))
+            return pa.table({"day": pc.strftime(sub["o_orderdate"],
+                                                format="%Y-%m-%d")})
+        return f
+
+    orders = _tbl(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+    urgent = orders.map_batches(
+        side(lambda b: pc.equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    rest = orders.map_batches(
+        side(lambda b: pc.not_equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    return distinct_except(urgent, rest, ["day"])
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1586,6 +1656,9 @@ QUERIES = {
     "grouped_moments": q_grouped_moments,
     "price_histogram": q_price_histogram,
     "segment_names": q_segment_names,
+    "running_total": q_running_total,
+    "dates_intersect": q_dates_intersect,
+    "dates_except": q_dates_except,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1907,6 +1980,28 @@ ORACLE_SQL = {
               FROM customer) t
         WHERE rn <= 5
         GROUP BY c_mktsegment""",
+    "running_total": """
+        SELECT user_id, event_id,
+               CAST(SUM(vc) OVER w AS BIGINT) AS running,
+               CAST(COALESCE(LAG(vc) OVER w, -1) AS BIGINT) AS prev,
+               row_number() OVER w AS rn
+        FROM (SELECT user_id, event_id, ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)""",
+    "dates_intersect": """
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+        WHERE o_orderpriority <> '1-URGENT'""",
+    "dates_except": """
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+        WHERE o_orderpriority <> '1-URGENT'""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
