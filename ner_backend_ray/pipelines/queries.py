@@ -1614,6 +1614,19 @@ def q_dates_except(sf_dir: str):
     return distinct_except(urgent, rest, ["day"])
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Integer-exact Lloyd's k-means (ops/kmeans.py::kmeans_int): 2
+    iterations, k=5, centroids seeded from vec_id < 5. Per iteration the
+    vector table is scanned ONCE against the broadcast centroid matrix and
+    only k×(dims+1) partial-sum rows shuffle — the textbook distributed
+    k-means layout, with micro-unit int64 arithmetic so the oracle (the two
+    iterations unrolled as CTEs) value-hashes the assignments."""
+    from ..ops.kmeans import kmeans_int
+
+    return kmeans_int(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      vec_col="embedding", id_col="vec_id", k=5, n_iters=2)
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1659,6 +1672,7 @@ QUERIES = {
     "running_total": q_running_total,
     "dates_intersect": q_dates_intersect,
     "dates_except": q_dates_except,
+    "kmeans_clusters": q_kmeans_clusters,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -2002,6 +2016,46 @@ ORACLE_SQL = {
         EXCEPT
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
         WHERE o_orderpriority <> '1-URGENT'""",
+    "kmeans_clusters": """
+        WITH q AS (
+            SELECT vec_id, t.d AS d,
+                   CAST(floor(embedding[t.d + 1] * 1000000 + 0.5)
+                        AS BIGINT) AS x
+            FROM embeddings, range(64) t(d)),
+        c0 AS (SELECT vec_id AS cid, d, x AS c FROM q WHERE vec_id < 5),
+        d1 AS (SELECT q.vec_id, c0.cid,
+                      sum((q.x - c0.c) * (q.x - c0.c)) AS dd
+               FROM q JOIN c0 USING (d) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dd, cid) AS rn
+                   FROM d1) WHERE rn = 1),
+        n1 AS (SELECT cid, count(*) AS n FROM a1 GROUP BY 1),
+        s1 AS (SELECT a1.cid, q.d, CAST(sum(q.x) AS BIGINT) AS s
+               FROM a1 JOIN q USING (vec_id) GROUP BY 1, 2),
+        c1 AS (SELECT s1.cid, s1.d,
+                      (s1.s - (((s1.s % n1.n) + n1.n) % n1.n)) // n1.n AS c
+               FROM s1 JOIN n1 USING (cid)),
+        d2 AS (SELECT q.vec_id, c1.cid,
+                      sum((q.x - c1.c) * (q.x - c1.c)) AS dd
+               FROM q JOIN c1 USING (d) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dd, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+        n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY 1),
+        s2 AS (SELECT a2.cid, q.d, CAST(sum(q.x) AS BIGINT) AS s
+               FROM a2 JOIN q USING (vec_id) GROUP BY 1, 2),
+        c2 AS (SELECT s2.cid, s2.d,
+                      (s2.s - (((s2.s % n2.n) + n2.n) % n2.n)) // n2.n AS c
+               FROM s2 JOIN n2 USING (cid)),
+        d3 AS (SELECT q.vec_id, c2.cid,
+                      sum((q.x - c2.c) * (q.x - c2.c)) AS dd
+               FROM q JOIN c2 USING (d) GROUP BY 1, 2)
+        SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM d3) WHERE rn = 1""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
