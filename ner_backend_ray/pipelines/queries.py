@@ -567,6 +567,12 @@ def _collect_table(ds) -> pa.Table:
     if isinstance(ds, pa.Table):
         return ds
     tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tabs:
+        # all blocks empty: Dataset.to_pandas()/concat would LOSE the schema
+        # (0-column frame) — rebuild the typed empty table instead so an
+        # empty result still hash-compares against its oracle.
+        schema = getattr(ds.schema(), "base_schema", None) or ds.schema()
+        return schema.empty_table()
     return pa.concat_tables(tabs, promote_options="default")
 
 
@@ -1611,7 +1617,9 @@ def q_dates_except(sf_dir: str):
     rest = orders.map_batches(
         side(lambda b: pc.not_equal(b["o_orderpriority"], "1-URGENT")),
         batch_format="pyarrow")
-    return distinct_except(urgent, rest, ["day"])
+    # EXCEPT can be legitimately EMPTY (it is at sf0.1) — collect to a typed
+    # table so the schema survives an all-empty result (driver compare).
+    return _collect_table(distinct_except(urgent, rest, ["day"]))
 
 
 def q_kmeans_clusters(sf_dir: str):
@@ -1625,6 +1633,49 @@ def q_kmeans_clusters(sf_dir: str):
 
     return kmeans_int(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
                       vec_col="embedding", id_col="vec_id", k=5, n_iters=2)
+
+
+def q_corpus_prep(sf_dir: str):
+    """End-to-end training-corpus prep as ONE composed pipeline — the
+    product story in a single call: quality gate (vectorized features) →
+    exact dedup keeping the min-id representative → deterministic
+    train/valid/test hash split → per-(split, lang) doc and token counts.
+    The text column dies at the gate (token counts ride along as int64), so
+    the dedup shuffle and everything after carry only scalar columns —
+    at 100 TB the bytes that move are ~1 % of the corpus."""
+    from ..ops.dedup import add_content_hash
+    from ..ops.sampling import hash_split
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        feats = quality_features(batch)
+        keep = pc.and_(pc.greater_equal(feats["n_tokens"], 40),
+                       pc.less(feats["punct_ratio"], 0.05))
+        t = add_content_hash(batch, "text")
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_tokens": feats["n_tokens"].cast(pa.int64()),
+                         "h": t["content_hash"]}).filter(keep)
+
+    kept = ds.map_batches(gate, batch_format="pyarrow")
+
+    def min_row(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(idx[:1]).select(["doc_id", "lang", "n_tokens"])
+
+    surv = kept.groupby("h").map_groups(min_row, batch_format="pyarrow")
+    split = hash_split(surv, "doc_id", hash_fn="knuth32")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (batch.select(["split", "lang", "n_tokens"])
+               .group_by(["split", "lang"])
+               .aggregate([("n_tokens", "sum"), ([], "count_all")]))
+        return agg.rename_columns(["split", "lang", "pt", "pn"])
+
+    return (split.map_batches(partial, batch_format="pyarrow")
+            .groupby(["split", "lang"])
+            .aggregate(Sum("pn", alias_name="n_docs"),
+                       Sum("pt", alias_name="tokens")))
 
 
 # --------------------------------------------------------------------------
@@ -1673,6 +1724,7 @@ QUERIES = {
     "dates_intersect": q_dates_intersect,
     "dates_except": q_dates_except,
     "kmeans_clusters": q_kmeans_clusters,
+    "corpus_prep": q_corpus_prep,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -2056,6 +2108,32 @@ ORACLE_SQL = {
             SELECT vec_id, cid, row_number() OVER (
                 PARTITION BY vec_id ORDER BY dd, cid) AS rn
             FROM d3) WHERE rn = 1""",
+    "corpus_prep": r"""
+        WITH feat AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens,
+                   (length(text)
+                    - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / CAST(greatest(length(text), 1) AS DOUBLE)
+                       AS punct_ratio
+            FROM documents),
+        kept AS (SELECT doc_id, lang, n_tokens, md5(text) AS h
+                 FROM feat WHERE n_tokens >= 40 AND punct_ratio < 0.05),
+        rep AS (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY h),
+        surv AS (SELECT k.doc_id, k.lang, k.n_tokens
+                 FROM kept k JOIN rep r ON k.doc_id = r.doc_id),
+        sp AS (SELECT lang, n_tokens,
+                      CASE WHEN b < 80 THEN 'train'
+                           WHEN b < 90 THEN 'valid'
+                           ELSE 'test' END AS split
+               FROM (SELECT surv.*,
+                            ((doc_id * 2654435761) % 4294967296) * 100
+                                // 4294967296 AS b
+                     FROM surv))
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM sp GROUP BY 1, 2""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
