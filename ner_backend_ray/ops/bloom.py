@@ -99,12 +99,15 @@ def bloom_build(keys: ray.data.Dataset, key: str,
             acc |= np.frombuffer(bm.as_py(), np.uint8)
         return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
 
-    parts = keys.map_batches(fold, batch_format="pyarrow")
+    # materialize before each count(): on a lazy plan every count() would
+    # RE-EXECUTE the whole upstream scan+fold per tree round. The partials
+    # are m/8-byte rows — cheap to pin in the object store.
+    parts = keys.map_batches(fold, batch_format="pyarrow").materialize()
     n_parts = parts.count()
     while n_parts > fan_in:
         parts = (parts.repartition(max(1, -(-n_parts // fan_in)))
                  .map_batches(or_batch, batch_format="pyarrow",
-                              batch_size=None))
+                              batch_size=None).materialize())
         n_parts = parts.count()
 
     out = np.zeros(m_bits // 8, np.uint8)
