@@ -143,7 +143,10 @@ def _prepared_build(probe: ray.data.Dataset, probe_key: str,
         idx = batch.column_names.index(build_key)
         return batch.set_column(idx, build_key, batch[build_key].cast(ktype))
 
-    build = build.map_batches(cast_key, batch_format="pyarrow")
+    # the build side is consumed twice (bitmap build + bucket verify); the
+    # runtime-filter pattern assumes it is the small side, so pin it once
+    # instead of re-running its scan+filter per consumer
+    build = build.map_batches(cast_key, batch_format="pyarrow").materialize()
     m_bits, k = bloom_params(n_build_keys, fpp)
     bm_ref = ray.put(bloom_build(build, build_key, m_bits, k))
     return build, bm_ref, m_bits, k, pcols, ptypes
