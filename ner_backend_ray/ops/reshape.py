@@ -80,3 +80,24 @@ def rollup_expand(finest: pa.Table, levels: list[str],
         cols.update({v: agg[v] for v in value_cols})
         pieces.append(pa.table(cols))
     return pa.concat_tables(pieces)
+
+
+def melt(ds: ray.data.Dataset, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable",
+         value_name: str = "value") -> ray.data.Dataset:
+    """UNPIVOT: one output row per (input row × value column). Stateless and
+    vectorized — each batch emits len(value_cols) column-slices concatenated,
+    so the op is a pure map with output exactly |rows|·|value_cols|; zero
+    cells are kept (melt is the exact inverse of the pivot layout, not a
+    sparse groupby)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for vc in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            cols[var_name] = pa.array([vc] * batch.num_rows, pa.string())
+            cols[value_name] = batch[vc]
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1678,6 +1678,26 @@ def q_corpus_prep(sf_dir: str):
                        Sum("pt", alias_name="tokens")))
 
 
+def q_events_unpivot(sf_dir: str):
+    """UNPIVOT (ops/reshape.py::melt) as the inverse of the pivot: the wide
+    per-day crosstab melted back to (day, event_type, n) long form — zero
+    cells KEPT (the oracle builds the dense day×type grid with a cross join
+    + COALESCE). Pivot → melt round-trips the reshape family end-to-end."""
+    from ..ops.reshape import melt, pivot_counts
+
+    ds = _tbl(sf_dir, "events", ["ts", "event_type"])
+
+    def with_day(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                         "event_type": batch["event_type"]})
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(ds.map_batches(with_day, batch_format="pyarrow"),
+                        row_key="day", col_key="event_type", categories=cats)
+    return melt(wide, id_cols=["day"], value_cols=cats,
+                var_name="event_type", value_name="n")
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1725,6 +1745,7 @@ QUERIES = {
     "dates_except": q_dates_except,
     "kmeans_clusters": q_kmeans_clusters,
     "corpus_prep": q_corpus_prep,
+    "events_unpivot": q_events_unpivot,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -2134,6 +2155,17 @@ ORACLE_SQL = {
         SELECT split, lang, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS tokens
         FROM sp GROUP BY 1, 2""",
+    "events_unpivot": """
+        WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+                      FROM events),
+        types AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                                 'view']) AS event_type),
+        cnt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2)
+        SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,

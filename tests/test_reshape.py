@@ -44,3 +44,18 @@ def test_rollup_expand_levels_and_sentinels():
     # finest rows pass through untouched
     fr = out[(out.region == "EU") & (out.nation == "FR")].iloc[0]
     assert fr.v == 10 and fr.n == 1
+
+
+def test_melt_inverts_pivot(ray_session):
+    from ner_backend_ray.ops.reshape import melt
+    n = 1_000
+    df = pd.DataFrame({"day": RNG.choice(["d1", "d2"], n),
+                       "ev": RNG.choice(["x", "y"], n)})
+    wide = pivot_counts(ray.data.from_pandas(df).repartition(4),
+                        "day", "ev", categories=["x", "y"])
+    long = (melt(wide, ["day"], ["x", "y"], var_name="ev", value_name="n")
+            .to_pandas().sort_values(["day", "ev"]).reset_index(drop=True))
+    ct = pd.crosstab(df["day"], df["ev"])
+    for _, r in long.iterrows():
+        assert r["n"] == ct.loc[r["day"], r["ev"]]
+    assert len(long) == 2 * 2
