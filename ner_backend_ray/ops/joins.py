@@ -137,6 +137,12 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
 
     lschema = left.schema()
     rschema = right.schema()
+    if lschema is None or rschema is None:
+        # an empty post-map Dataset loses its schema entirely; there is no
+        # principled output schema to plan, so fail with intent
+        raise ValueError("bucket_hash_join requires both sides to have a "
+                         "known schema (an all-empty mapped Dataset does "
+                         "not); materialize a typed empty table instead")
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     shared = (set(lcols) & set(rcols)) - {key}
