@@ -1698,6 +1698,62 @@ def q_events_unpivot(sf_dir: str):
                 var_name="event_type", value_name="n")
 
 
+def q_grouped_quantile_sketch(sf_dir: str) -> pa.Table:
+    """Per-group mergeable quantiles: one KLL summary per event_type, folded
+    per (block × group) and merged per group — the grouped companion of
+    q_value_quantile_sketch. Summary rows are the only shuffle payload
+    (groups × O(k·log n) rows per block); the oracle re-derives the weighted
+    quantile_disc rule per group from the exported (g, v, w) rows."""
+    from ..ops.sketch import KLLSketch
+
+    ds = _tbl(sf_dir, "events", ["event_type", "value"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        gs, ls, vs = [], [], []
+        for key in np.unique(g):
+            sk = KLLSketch(k=256)
+            sk.add_batch(v[g == key])
+            lv, vals = sk.level_rows()
+            gs.append(np.full(len(lv), key, object))
+            ls.append(lv.astype(np.int64))
+            vs.append(vals)
+        if not gs:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "level": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        return pa.table({"g": pa.array(np.concatenate(gs), pa.string()),
+                         "level": pa.array(np.concatenate(ls)),
+                         "v": pa.array(np.concatenate(vs), pa.float64())})
+
+    rows = _collect_table(ds.map_batches(fold, batch_format="pyarrow"))
+    g = rows["g"].to_numpy(zero_copy_only=False)
+    lv = rows["level"].to_numpy(zero_copy_only=False)
+    vv = rows["v"].to_numpy(zero_copy_only=False)
+    qs = [0.5, 0.9]
+    out_g, out_q, out_v = [], [], []
+    exp_g, exp_v, exp_w = [], [], []
+    for key in np.unique(g):
+        m = g == key
+        merged = KLLSketch.from_levels(lv[m], vv[m], k=256)
+        vals, wts = merged.items()
+        exp_g.append(np.full(len(vals), key, object))
+        exp_v.append(vals)
+        exp_w.append(wts)
+        for q in qs:
+            out_g.append(key)
+            out_q.append(q)
+            out_v.append(merged.quantile(q))
+    _export_for_oracle("kll_grouped", pa.table({
+        "g": pa.array(np.concatenate(exp_g), pa.string()),
+        "v": pa.array(np.concatenate(exp_v), pa.float64()),
+        "w": pa.array(np.concatenate(exp_w), pa.int64())}))
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
 # --------------------------------------------------------------------------
 # registries
 # --------------------------------------------------------------------------
@@ -1746,6 +1802,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "corpus_prep": q_corpus_prep,
     "events_unpivot": q_events_unpivot,
+    "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "regex_mention_runs": q_regex_mention_runs,
     "dsl_groups": q_dsl_groups,
     "preview": q_preview,
@@ -1906,6 +1963,18 @@ ORACLE_SQL = {
         SELECT q, min(v) AS value
         FROM qs JOIN c ON c.cum >= greatest(1, ceil(q * c.total))
         GROUP BY q""",
+    "grouped_quantile_sketch": """
+        WITH s AS (SELECT g, v, w
+                   FROM read_parquet('/tmp/ner_ray_oracle/kll_grouped.parquet')),
+        c AS (SELECT g, v,
+                     sum(w) OVER (PARTITION BY g ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(w) OVER (PARTITION BY g) AS total
+              FROM s),
+        qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+        SELECT c.g AS event_type, q, min(v) AS value
+        FROM qs JOIN c ON c.cum >= greatest(1, ceil(q * c.total))
+        GROUP BY 1, 2""",
     "hll_distinct": """
         SELECT l_returnflag, register, max(rho) AS rho
         FROM read_parquet('/tmp/ner_ray_oracle/hll_partials.parquet')
