@@ -36,9 +36,9 @@ from ..oracle import KGConfig
 from ..ops.ann import brute_force_topk, lsh_topk
 from ..ops.dedup import (dedup_exact, dedup_minhash_lsh, embedding_near_dups,
                          simhash_near_dups)
-from ..ops.joins import (asof_join, broadcast_join, bucket_hash_join,
-                         buckets_for, gated_dim_join, parquet_bytes,
-                         range_join)
+from ..ops.joins import (_bucket_of, asof_join, broadcast_join,
+                         bucket_hash_join, buckets_for, gated_dim_join,
+                         parquet_bytes, range_join)
 from ..ops.textstats import fingerprint_batch, quality_features
 from ..ops.window import session_windows, tumbling_window
 from ..stages.tag import TagDocs, explode_groups, explode_mentions
@@ -1659,11 +1659,32 @@ def q_corpus_prep(sf_dir: str):
 
     kept = ds.map_batches(gate, batch_format="pyarrow")
 
-    def min_row(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
-        return g.take(idx[:1]).select(["doc_id", "lang", "n_tokens"])
+    # min-id representative per content hash, hash-BUCKETED: a groupby("h")
+    # .map_groups pays one Python call per distinct document; bucketing by
+    # hash keeps every copy of a hash in one group and the per-group kernel
+    # is a vectorized sort + boundary mask over the whole bucket.
+    n_buckets = buckets_for(
+        parquet_bytes(os.path.join(sf_dir, "documents.parquet")))
 
-    surv = kept.groupby("h").map_groups(min_row, batch_format="pyarrow")
+    def tagb(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b", _bucket_of(batch["h"], n_buckets))
+
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        cols = ["doc_id", "lang", "n_tokens"]
+        if g.num_rows == 0:
+            return g.select(cols)
+        idx = pc.sort_indices(g, sort_keys=[("h", "ascending"),
+                                            ("doc_id", "ascending")])
+        t = g.take(idx)
+        h = np.asarray(t["h"].to_numpy(zero_copy_only=False))
+        keep = np.empty(len(h), dtype=bool)
+        keep[0] = True
+        keep[1:] = h[1:] != h[:-1]
+        return t.filter(pa.array(keep)).select(cols)
+
+    surv = (kept.map_batches(tagb, batch_format="pyarrow")
+            .groupby("__b").map_groups(first_per_hash,
+                                       batch_format="pyarrow"))
     split = hash_split(surv, "doc_id", hash_fn="knuth32")
 
     def partial(batch: pa.Table) -> pa.Table:
