@@ -1699,6 +1699,42 @@ def q_corpus_prep(sf_dir: str):
                        Sum("pt", alias_name="tokens")))
 
 
+def q_sequence_packing(sf_dir: str):
+    """Fixed-rate sequence packing for LLM pretraining batches: documents in
+    doc_id order are packed into consecutive ~2048-token bins, where a doc's
+    bin is its EXCLUSIVE global token prefix // budget. The global ordered
+    prefix sum is the two-pass distributed scan (ops/scan.py::
+    global_running_sum — per-block totals to the driver, offsets back); the
+    per-bin rollup is an ordinary combiner groupby. Exercises the one window
+    frame a partitioned groupby cannot express: ORDER BY over the WHOLE
+    dataset with no partition key."""
+    from ..ops.scan import global_running_sum
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "n_tokens": n})
+
+    run = global_running_sum(ds.map_batches(tok, batch_format="pyarrow"),
+                             order_col="doc_id", value_col="n_tokens")
+    budget = 2048
+
+    def binpart(batch: pa.Table) -> pa.Table:
+        excl = pc.subtract(batch["running"], batch["n_tokens"])
+        b = pc.divide(excl, pa.scalar(budget, pa.int64()))
+        t = pa.table({"bin": b, "n_tokens": batch["n_tokens"]})
+        agg = t.group_by("bin").aggregate([("n_tokens", "sum"),
+                                           ([], "count_all")])
+        return agg.rename_columns(["bin", "pt", "pn"])
+
+    return (run.map_batches(binpart, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("pn", alias_name="n_docs"),
+                       Sum("pt", alias_name="tokens")))
+
+
 def q_events_unpivot(sf_dir: str):
     """UNPIVOT (ops/reshape.py::melt) as the inverse of the pivot: the wide
     per-day crosstab melted back to (day, event_type, n) long form — zero
@@ -1822,6 +1858,7 @@ QUERIES = {
     "dates_except": q_dates_except,
     "kmeans_clusters": q_kmeans_clusters,
     "corpus_prep": q_corpus_prep,
+    "sequence_packing": q_sequence_packing,
     "events_unpivot": q_events_unpivot,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "regex_mention_runs": q_regex_mention_runs,
@@ -2245,6 +2282,22 @@ ORACLE_SQL = {
         SELECT split, lang, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS tokens
         FROM sp GROUP BY 1, 2""",
+    "sequence_packing": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prior
+            FROM t)
+        SELECT prior // 2048 AS bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM s GROUP BY 1""",
     "events_unpivot": """
         WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
                       FROM events),
