@@ -1451,6 +1451,36 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_bfs_order_part(sf_dir: str):
+    """3-round BFS levels (ops/bfs.py::bfs_levels — the min-plus twin of the
+    PageRank iteration) over the undirected order↔part purchase graph,
+    seeded at part nodes with partkey ≤ 10. Returns (node, dist) for the
+    3-hop ball; the oracle unrolls the three relax/apply rounds as CTEs, so
+    the iterative min-plus family is value-hash checked like the
+    sum-product one."""
+    from ..ops.bfs import bfs_levels
+
+    line = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({"src": np.concatenate([o, p]),
+                         "dst": np.concatenate([p, o])})
+
+    def mksrc(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].cast(pa.int64())
+        sel = pc.less_equal(pk, 10)
+        return pa.table({"node": pc.add(pc.multiply(pk.filter(sel),
+                                                    pa.scalar(2, pa.int64())),
+                                        pa.scalar(1, pa.int64()))})
+
+    edges = line.map_batches(mkedges, batch_format="pyarrow")
+    sources = line.map_batches(mksrc, batch_format="pyarrow")
+    return bfs_levels(edges, sources, n_iters=3, n_buckets=buckets_for(
+        2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
+
+
 def q_grouped_moments(sf_dir: str):
     """Exact grouped statistical moments (variance/covariance family) in pure
     int64: per (returnflag, linestatus), n, Σx, Σx², Σy, Σy², Σxy with
@@ -1735,6 +1765,54 @@ def q_sequence_packing(sf_dir: str):
                        Sum("pt", alias_name="tokens")))
 
 
+def q_price_ntile(sf_dir: str):
+    """Global quartile assignment (NTILE family) over orders by totalprice —
+    needs a GLOBAL dense rank, which no partitioned groupby provides. The
+    rank is the global scan with value 1 (running == row_number) over a
+    fused (cents << 33 | orderkey) sort key (cents < 2^26 at TPC-H scales,
+    orderkey < 2^33 — the same fused-int trick as price_quantiles), and the
+    quartile is the division-form bucket (rn-1)*4 // n + 1, identical in
+    DuckDB (NTILE's leftover-distribution rule differs between engines;
+    the floor form is engine-neutral and exactly SQL-expressible)."""
+    from ..ops.scan import global_running_sum
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"])
+        key = pc.bit_wise_or(
+            pc.shift_left(cents, pa.scalar(33, pa.int64())),
+            batch["o_orderkey"].cast(pa.int64()))
+        return pa.table({"k": key, "cents": cents,
+                         "one": pa.array(
+                             np.ones(batch.num_rows, np.int64))})
+
+    run = global_running_sum(ds.map_batches(fuse, batch_format="pyarrow"),
+                             order_col="k", value_col="one")
+
+    def part(batch: pa.Table) -> pa.Table:
+        rn = batch["running"]  # row_number in (cents, orderkey) order
+        q = pc.add(pc.divide(pc.multiply(pc.subtract(rn, pa.scalar(1)),
+                                         pa.scalar(4)),
+                             pa.scalar(n_rows, pa.int64())),
+                   pa.scalar(1)).cast(pa.int64())
+        t = pa.table({"quartile": q, "cents": batch["cents"]})
+        agg = t.group_by("quartile").aggregate(
+            [("cents", "sum"), ("cents", "min"), ("cents", "max"),
+             ([], "count_all")])
+        return agg.rename_columns(["quartile", "ps", "pmin", "pmax", "pn"])
+
+    from ray.data.aggregate import Min
+    return (run.map_batches(part, batch_format="pyarrow")
+            .groupby("quartile")
+            .aggregate(Sum("pn", alias_name="n_orders"),
+                       Sum("ps", alias_name="sum_cents"),
+                       Min("pmin", alias_name="min_cents"),
+                       Max("pmax", alias_name="max_cents")))
+
+
 def q_events_unpivot(sf_dir: str):
     """UNPIVOT (ops/reshape.py::melt) as the inverse of the pivot: the wide
     per-day crosstab melted back to (day, event_type, n) long form — zero
@@ -1850,6 +1928,7 @@ QUERIES = {
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
+    "bfs_order_part": q_bfs_order_part,
     "grouped_moments": q_grouped_moments,
     "price_histogram": q_price_histogram,
     "segment_names": q_segment_names,
@@ -1859,6 +1938,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "corpus_prep": q_corpus_prep,
     "sequence_packing": q_sequence_packing,
+    "price_ntile": q_price_ntile,
     "events_unpivot": q_events_unpivot,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "regex_mention_runs": q_regex_mention_runs,
@@ -2126,6 +2206,29 @@ ORACLE_SQL = {
                                                tf.token) AS rn
             FROM tf JOIN df ON tf.token = df.token) t
         WHERE rn <= 5""",
+    "bfs_order_part": """
+        WITH e AS (
+            SELECT CAST(l_orderkey * 2 AS BIGINT) AS src,
+                   CAST(l_partkey * 2 + 1 AS BIGINT) AS dst FROM lineitem
+            UNION ALL
+            SELECT CAST(l_partkey * 2 + 1 AS BIGINT) AS src,
+                   CAST(l_orderkey * 2 AS BIGINT) AS dst FROM lineitem),
+        d0 AS (SELECT DISTINCT CAST(l_partkey * 2 + 1 AS BIGINT) AS node,
+                      CAST(0 AS BIGINT) AS dist
+               FROM lineitem WHERE l_partkey <= 10),
+        c1 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+               FROM d0 d JOIN e ON e.src = d.node GROUP BY e.dst),
+        d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+               (SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY node),
+        c2 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+               FROM d1 d JOIN e ON e.src = d.node GROUP BY e.dst),
+        d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+               (SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY node),
+        c3 AS (SELECT e.dst AS node, min(d.dist + 1) AS dist
+               FROM d2 d JOIN e ON e.src = d.node GROUP BY e.dst),
+        d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+               (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY node)
+        SELECT node, dist FROM d3""",
     "pagerank_parts": """
         WITH edges AS (
             SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
@@ -2298,6 +2401,21 @@ ORACLE_SQL = {
         SELECT prior // 2048 AS bin, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS tokens
         FROM s GROUP BY 1""",
+    "price_ntile": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+        r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM t)
+        SELECT CAST((rn - 1) * 4 // n + 1 AS BIGINT) AS quartile,
+               count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               min(cents) AS min_cents, max(cents) AS max_cents
+        FROM r GROUP BY 1""",
     "events_unpivot": """
         WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
                       FROM events),
