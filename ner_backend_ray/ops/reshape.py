@@ -82,6 +82,35 @@ def rollup_expand(finest: pa.Table, levels: list[str],
     return pa.concat_tables(pieces)
 
 
+def cube_expand(finest: pa.Table, levels: list[str],
+                value_cols: list[str], sentinel: str = "ALL") -> pa.Table:
+    """Expand a finest-level aggregate into CUBE(levels) rows — every subset
+    of ``levels`` (2^k grouping sets), dropped columns set to ``sentinel``.
+    Same contract as :func:`rollup_expand` (summable values, driver-side on
+    the tiny finest table); the fact table is still scanned and shuffled
+    exactly once, whatever k is."""
+    finest = finest.select(levels + value_cols)
+    pieces = []
+    for mask in range(1 << len(levels)):
+        keys = [lv for i, lv in enumerate(levels) if mask & (1 << i)]
+        if len(keys) == len(levels):
+            agg = finest
+        elif keys:
+            agg = finest.group_by(keys).aggregate(
+                [(v, "sum") for v in value_cols])
+            agg = agg.rename_columns(keys + value_cols)  # keys-first
+        else:
+            agg = pa.table({v: pa.array([pc.sum(finest[v]).as_py()],
+                                        finest.schema.field(v).type)
+                            for v in value_cols})
+        cols = {lv: (agg[lv] if lv in agg.column_names
+                     else pa.array([sentinel] * agg.num_rows, pa.string()))
+                for lv in levels}
+        cols.update({v: agg[v] for v in value_cols})
+        pieces.append(pa.table(cols))
+    return pa.concat_tables(pieces)
+
+
 def melt(ds: ray.data.Dataset, id_cols: list[str], value_cols: list[str],
          var_name: str = "variable",
          value_name: str = "value") -> ray.data.Dataset:

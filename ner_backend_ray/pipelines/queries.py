@@ -1451,6 +1451,53 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_cube_revenue(sf_dir: str):
+    """CUBE grouping sets (ops/reshape.py::cube_expand) — the non-hierarchical
+    completion of ROLLUP: order revenue at every subset of {region,
+    orderpriority}, including the (ALL, priority) level a rollup can't
+    produce. Same scale shape as rollup_revenue: ONE finest-level combiner
+    groupby over the fact table; all 2^k coarser levels re-aggregate the
+    tiny finest result driver-side."""
+    from ..ops.reshape import cube_expand
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    region_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                         nat["n_regionkey"].to_pylist()))
+    region_name = dict(zip(reg["r_regionkey"].to_pylist(),
+                           reg["r_name"].to_pylist()))
+    small_ref = ray.put((region_of, region_name))
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_custkey", "o_totalprice", "o_orderpriority"])
+    joined = gated_dim_join(
+        orders, os.path.join(sf_dir, "customer.parquet"), key="o_custkey",
+        columns=["c_custkey", "c_nationkey"],
+        rename=["o_custkey", "c_nationkey"],
+        left_bytes=parquet_bytes(os.path.join(sf_dir, "orders.parquet")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg_of, reg_name = ray.get(small_ref)
+        nk = batch["c_nationkey"].to_pylist()
+        t = pa.table({
+            "region": pa.array([reg_name[reg_of[k]] for k in nk],
+                               pa.string()),
+            "priority": batch["o_orderpriority"],
+            "cents": _cents(batch["o_totalprice"]),
+        })
+        agg = t.group_by(["region", "priority"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return agg.rename_columns(["region", "priority", "pcents", "pn"])
+
+    finest = (joined.map_batches(partial, batch_format="pyarrow")
+              .groupby(["region", "priority"])
+              .aggregate(Sum("pcents", alias_name="rev_cents"),
+                         Sum("pn", alias_name="n_orders")))
+    return cube_expand(_collect_table(finest),
+                       levels=["region", "priority"],
+                       value_cols=["rev_cents", "n_orders"])
+
+
 def q_bfs_order_part(sf_dir: str):
     """3-round BFS levels (ops/bfs.py::bfs_levels — the min-plus twin of the
     PageRank iteration) over the undirected order↔part purchase graph,
@@ -1925,6 +1972,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "events_pivot": q_events_pivot,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2183,6 +2231,17 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)""",
+    "cube_revenue": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS rev_cents,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, o_orderpriority)""",
     "left_join_urgent": """
         SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_orderkey
         FROM customer

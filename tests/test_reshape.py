@@ -7,7 +7,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ner_backend_ray.ops.reshape import pivot_counts, rollup_expand
+from ner_backend_ray.ops.reshape import (cube_expand, pivot_counts,
+                                          rollup_expand)
 
 RNG = np.random.default_rng(11)
 
@@ -44,6 +45,25 @@ def test_rollup_expand_levels_and_sentinels():
     # finest rows pass through untouched
     fr = out[(out.region == "EU") & (out.nation == "FR")].iloc[0]
     assert fr.v == 10 and fr.n == 1
+
+
+def test_cube_expand_all_subsets():
+    finest = pa.table({
+        "region": ["EU", "EU", "US"],
+        "prio": ["HI", "LO", "HI"],
+        "v": pa.array([10, 20, 5], pa.int64()),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = cube_expand(finest, ["region", "prio"], ["v", "n"]).to_pandas()
+    # 2^2 grouping sets: finest 3 + region 2 + prio 2 + grand 1
+    assert len(out) == 3 + 2 + 2 + 1
+    # the level ROLLUP can't produce: (ALL, prio)
+    hi = out[(out.region == "ALL") & (out.prio == "HI")].iloc[0]
+    assert hi.v == 15 and hi.n == 4
+    tot = out[(out.region == "ALL") & (out.prio == "ALL")].iloc[0]
+    assert tot.v == 35 and tot.n == 6
+    eu = out[(out.region == "EU") & (out.prio == "ALL")].iloc[0]
+    assert eu.v == 30 and eu.n == 3
 
 
 def test_melt_inverts_pivot(ray_session):
