@@ -1451,6 +1451,36 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_zorder_lineitem(sf_dir: str):
+    """Z-order layout clustering (ops/layout.py::zorder_sort — the
+    Delta/Iceberg Z-ORDER shape): lineitem is Morton-sorted on
+    (l_orderkey, l_partkey) so output blocks cover compact rectangles of
+    the key space (multi-column min/max scan pruning at 100 TB). The
+    16-bit quantization and bit interleave are exact integer arithmetic,
+    so the oracle recomputes every key bit-for-bit (range(16) bit sum);
+    result = per 1024-way z-bucket: row count and the orderkey envelope."""
+    from ..ops.layout import zorder_sort
+    from ray.data.aggregate import Min
+
+    ds = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    z = zorder_sort(ds, "l_orderkey", "l_partkey", bits=16)
+
+    def part(batch: pa.Table) -> pa.Table:
+        zb = pc.divide(batch["zkey"],
+                       pa.scalar(1 << 22, pa.int64()))  # non-negative: floor
+        t = pa.table({"zbucket": zb,
+                      "ok": batch["l_orderkey"].cast(pa.int64())})
+        agg = t.group_by("zbucket").aggregate(
+            [("ok", "min"), ("ok", "max"), ([], "count_all")])
+        return agg.rename_columns(["zbucket", "pmin", "pmax", "pn"])
+
+    return (z.map_batches(part, batch_format="pyarrow")
+            .groupby("zbucket")
+            .aggregate(Sum("pn", alias_name="n_rows"),
+                       Min("pmin", alias_name="min_orderkey"),
+                       Max("pmax", alias_name="max_orderkey")))
+
+
 def q_cube_revenue(sf_dir: str):
     """CUBE grouping sets (ops/reshape.py::cube_expand) — the non-hierarchical
     completion of ROLLUP: order revenue at every subset of {region,
@@ -1973,6 +2003,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
+    "zorder_lineitem": q_zorder_lineitem,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2242,6 +2273,27 @@ ORACLE_SQL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY CUBE (r_name, o_orderpriority)""",
+    "zorder_lineitem": """
+        WITH r AS (
+            SELECT min(l_orderkey) AS xlo, max(l_orderkey) AS xhi,
+                   min(l_partkey) AS ylo, max(l_partkey) AS yhi
+            FROM lineitem),
+        q AS (
+            SELECT (l_orderkey - xlo) * 65535 // greatest(xhi - xlo, 1) AS qx,
+                   (l_partkey - ylo) * 65535 // greatest(yhi - ylo, 1) AS qy,
+                   l_orderkey
+            FROM lineitem, r),
+        z AS (
+            SELECT l_orderkey,
+                   (SELECT CAST(SUM((((qx >> t.b) & 1) << (2 * t.b))
+                                + (((qy >> t.b) & 1) << (2 * t.b + 1)))
+                           AS BIGINT)
+                    FROM range(16) t(b)) AS zkey
+            FROM q)
+        SELECT zkey // 4194304 AS zbucket, count(*) AS n_rows,
+               min(l_orderkey) AS min_orderkey,
+               max(l_orderkey) AS max_orderkey
+        FROM z GROUP BY 1""",
     "left_join_urgent": """
         SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_orderkey
         FROM customer
