@@ -1451,6 +1451,39 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_group_median(sf_dir: str):
+    """Exact per-group median (grouped quantile_disc) — the exact twin of
+    grouped_quantile_sketch: per priority, only DISTINCT (group, cents)
+    value-count rows shuffle (the price_quantiles trick applied per group);
+    the per-group pick is a vectorized cumulative-weight rank lookup at
+    rank ceil(n/2), DuckDB quantile_disc's discrete pick."""
+    ds = _tbl(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch["o_orderpriority"],
+                      "v": _cents(batch["o_totalprice"])})
+        agg = t.group_by(["g", "v"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["g", "v", "pn"])
+
+    counts = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(["g", "v"]).aggregate(Sum("pn", alias_name="n")))
+
+    def pick(gr: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(gr, sort_keys=[("v", "ascending")])
+        t = gr.take(idx)
+        c = np.cumsum(t["n"].to_numpy(zero_copy_only=False))
+        ntot = int(c[-1])
+        rank = (ntot + 1) // 2  # == ceil(n/2): quantile_disc(0.5)'s pick
+        pos = int(np.searchsorted(c, rank, side="left"))
+        return pa.table({
+            "g": t["g"].slice(pos, 1),
+            "median_cents": t["v"].slice(pos, 1).cast(pa.int64()),
+            "n_orders": pa.array([ntot], pa.int64())})
+
+    # 5 priority groups — per-key map_groups is fine at this cardinality
+    return counts.groupby("g").map_groups(pick, batch_format="pyarrow")
+
+
 def q_zorder_lineitem(sf_dir: str):
     """Z-order layout clustering (ops/layout.py::zorder_sort — the
     Delta/Iceberg Z-ORDER shape): lineitem is Morton-sorted on
@@ -2004,6 +2037,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
     "zorder_lineitem": q_zorder_lineitem,
+    "group_median": q_group_median,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2294,6 +2328,13 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "group_median": """
+        SELECT o_orderpriority AS g,
+               CAST(quantile_disc(
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.5)
+                   AS BIGINT) AS median_cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1""",
     "left_join_urgent": """
         SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_orderkey
         FROM customer
