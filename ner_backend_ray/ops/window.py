@@ -76,55 +76,117 @@ def sliding_window(events: ray.data.Dataset, ts_col: str = "ts",
 
 def session_windows(events: ray.data.Dataset, ts_col: str = "ts",
                     key_col: str = "user_id",
-                    gap_us: int = 1_800_000_000) -> ray.data.Dataset:
-    """Per-key session windowing (sorted within group; gap > gap_us splits).
-    Returns (key, session_start, session_end, n_events)."""
+                    gap_us: int = 1_800_000_000,
+                    n_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-key session windowing (sorted within key; gap > gap_us splits).
+    Returns (session_start, session_end, n_events, key).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64")
-        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
-        out = g.groupby(new_session).agg(
-            session_start=(ts_col, "min"), session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"))
-        out[key_col] = g[key_col].iloc[0]
-        return out.reset_index(drop=True)
+    Keys are HASH-BUCKETED, not grouped per key: a ``groupby(key)``
+    .map_groups pays one Python UDF call per key — fine at thousands of
+    users, fatal at the millions a 100-TB event log carries. Each bucket
+    group holds every row of its keys, so one vectorized sort by
+    (key, ts) + a boundary mask (key change OR gap) computes every
+    session in the bucket with zero per-key Python."""
+    import numpy as np
 
-    return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    from .joins import _bucket_of, buckets_for
+    n_buckets = n_buckets or buckets_for(0)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b", _bucket_of(batch[key_col],
+                                                     n_buckets))
+
+    def bucket_sessions(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"session_start": g[ts_col],
+                             "session_end": g[ts_col],
+                             "n_events": pa.array([], pa.int64()),
+                             key_col: g[key_col]})
+        idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                            (ts_col, "ascending")])
+        t = g.take(idx)
+        k = np.asarray(t[key_col].to_numpy(zero_copy_only=False))
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(k)
+        newseg = np.empty(n, dtype=bool)
+        newseg[0] = True
+        newseg[1:] = (k[1:] != k[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(newseg)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "session_start": pc.take(t[ts_col], pa.array(starts)),
+            "session_end": pc.take(t[ts_col], pa.array(ends)),
+            "n_events": pa.array(np.diff(np.append(starts, n))
+                                 .astype(np.int64)),
+            key_col: pc.take(t[key_col], pa.array(starts))})
+
+    return (events.map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_sessions,
+                                       batch_format="pyarrow"))
 
 
 def partitioned_running(events: ray.data.Dataset, key_col: str,
                         order_cols: list[str], value_col: str,
-                        lag_fill: int = -1) -> ray.data.Dataset:
+                        lag_fill: int = -1,
+                        n_buckets: int | None = None) -> ray.data.Dataset:
     """SQL window functions as a dataflow op: per-``key_col`` partition,
     ordered by ``order_cols``, emit running sum, lag(value) and row_number
     over ``value_col`` (int64 — callers fix-point floats first so the math
     is exact on both engine and oracle).
 
-    Plan shape: one groupby(key) shuffle; inside each group the analytics
-    are a vectorized sort + cumsum/shift — no per-row Python. Partitions
-    must fit a worker (true for per-user/per-entity streams); a key whose
-    history exceeds that needs range-partitioning by (key, time) with
-    carry-in offsets, which is the checkpointed runner's segment pattern,
-    not this op's.
+    Plan shape: one hash-bucket shuffle (NOT one Python map_groups call per
+    key — see :func:`session_windows`); inside each bucket one vectorized
+    sort by (key, *order_cols) + segment-masked cumsum/shift computes every
+    partition at once. ``order_cols`` must totally order rows within a key
+    for deterministic output (true for per-event streams with an id
+    tiebreak). Buckets must fit a worker; a single key whose history
+    exceeds that needs range-partitioning by (key, time) with carry-in
+    offsets, which is the checkpointed runner's segment pattern, not this
+    op's.
 
     Returns all input columns plus ``running`` (cumulative sum inclusive),
     ``prev`` (lagged value, ``lag_fill`` for the partition head) and ``rn``
     (1-based dense position)."""
     import numpy as np
 
-    def analyze(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[(c, "ascending") for c in order_cols])
-        t = g.take(idx)
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        prev = np.empty_like(v)
-        prev[0] = lag_fill
-        prev[1:] = v[:-1]
-        return (t.append_column("running", pa.array(np.cumsum(v)))
-                 .append_column("prev", pa.array(prev))
-                 .append_column("rn", pa.array(
-                     np.arange(1, len(v) + 1, dtype=np.int64))))
+    from .joins import _bucket_of, buckets_for
+    n_buckets = n_buckets or buckets_for(0)
 
-    return events.groupby(key_col).map_groups(analyze,
-                                              batch_format="pyarrow")
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b", _bucket_of(batch[key_col],
+                                                     n_buckets))
+
+    def analyze_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__b"])
+        if t.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return (t.append_column("running", empty)
+                     .append_column("prev", empty)
+                     .append_column("rn", empty))
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols])
+        t = g.take(idx).drop_columns(["__b"])
+        k = np.asarray(t[key_col].to_numpy(zero_copy_only=False))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        newseg = np.empty(n, dtype=bool)
+        newseg[0] = True
+        newseg[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(newseg)
+        seg_id = np.cumsum(newseg) - 1
+        cum = np.cumsum(v)
+        base = np.zeros(len(starts), np.int64)
+        base[1:] = cum[starts[1:] - 1]
+        running = cum - base[seg_id]
+        prev = np.empty(n, np.int64)
+        prev[1:] = v[:-1]
+        prev[starts] = lag_fill
+        rn = np.arange(n, dtype=np.int64) - starts[seg_id] + 1
+        return (t.append_column("running", pa.array(running))
+                 .append_column("prev", pa.array(prev))
+                 .append_column("rn", pa.array(rn)))
+
+    return (events.map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(analyze_bucket,
+                                       batch_format="pyarrow"))
