@@ -191,4 +191,35 @@ def tag_chunked_pages(pages, cfg, max_chunk_bytes: int = 1 << 20,
     assemble = make_assemble_docs(
         set(cfg.tags) if cfg.tags is not None else None,
         set(cfg.custom_patterns or ()), cfg.group_queries)
-    return predicted.groupby("url").map_groups(assemble, batch_format="pyarrow")
+
+    # hash-bucket the docs instead of one Ray group per url (per-group
+    # machinery dominates at corpus-scale doc counts); inside a bucket the
+    # unchanged per-doc assemble runs over url segments of one sorted table.
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.joins import _bucket_of, buckets_for
+    n_buckets = buckets_for(0)
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b", _bucket_of(batch["url"],
+                                                     n_buckets))
+
+    def assemble_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return assemble(g.drop_columns(["__b"]))
+        idx = pc.sort_indices(g, sort_keys=[("url", "ascending")])
+        t = g.take(idx).drop_columns(["__b"])
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        seg = np.empty(len(urls), dtype=bool)
+        seg[0] = True
+        seg[1:] = urls[1:] != urls[:-1]
+        bounds = np.append(np.flatnonzero(seg), len(urls))
+        pieces = [assemble(t.slice(int(bounds[i]),
+                                   int(bounds[i + 1] - bounds[i])))
+                  for i in range(len(bounds) - 1)]
+        return pa.concat_tables(pieces)
+
+    return (predicted.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(assemble_bucket,
+                                       batch_format="pyarrow"))
