@@ -1451,6 +1451,43 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_contamination_hits(sf_dir: str):
+    """Benchmark-contamination check, the decontamination shape every
+    LLM-corpus pipeline needs: a small probe set (here: a 40-char probe from
+    each of the 3 lowest-id documents) is broadcast once and every document
+    is scanned for verbatim probe containment — a broadcast semi-join on
+    substring match, never a shuffle. Returns per-probe hit counts (the
+    seed itself guarantees ≥1, exact dups add more, so the hash check is
+    non-degenerate). Oracle: CROSS JOIN + position(probe in text)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    # driver-side probe derivation: ids column only, then a pushed-down
+    # row filter for the 3 seed texts — never the text column wholesale
+    ids = pq.read_table(path, columns=["doc_id"])["doc_id"]
+    seed_ids = sorted(ids.to_pylist())[:3]
+    seeds = pq.read_table(path, columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", seed_ids)])
+    idx = pc.sort_indices(seeds, sort_keys=[("doc_id", "ascending")])
+    seeds = seeds.take(idx)
+    probes = [(int(i), t[:40]) for i, t in
+              zip(seeds["doc_id"].to_pylist(), seeds["text"].to_pylist())]
+    probes_ref = ray.put(probes)
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ps = ray.get(probes_ref)
+        rows_id, rows_n = [], []
+        for pid, probe in ps:
+            hit = pc.match_substring(batch["text"], probe)
+            rows_id.append(pid)
+            rows_n.append(int(pc.sum(hit.cast(pa.int8())).as_py() or 0))
+        return pa.table({"probe_doc": pa.array(rows_id, pa.int64()),
+                         "pn": pa.array(rows_n, pa.int64())})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("probe_doc").aggregate(Sum("pn", alias_name="n_hits")))
+
+
 def q_group_median(sf_dir: str):
     """Exact per-group median (grouped quantile_disc) — the exact twin of
     grouped_quantile_sketch: per priority, only DISTINCT (group, cents)
@@ -2038,6 +2075,7 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     "zorder_lineitem": q_zorder_lineitem,
     "group_median": q_group_median,
+    "contamination_hits": q_contamination_hits,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2328,6 +2366,15 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "contamination_hits": """
+        WITH seeds AS (
+            SELECT doc_id AS probe_doc, substr(text, 1, 40) AS probe
+            FROM documents ORDER BY doc_id LIMIT 3)
+        SELECT s.probe_doc,
+               CAST(SUM(CASE WHEN position(s.probe IN d.text) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM seeds s CROSS JOIN documents d
+        GROUP BY 1""",
     "group_median": """
         SELECT o_orderpriority AS g,
                CAST(quantile_disc(
