@@ -1451,6 +1451,38 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_triangles_parts(sf_dir: str):
+    """Distributed triangle counting (ops/triangles.py — the wedge-check
+    algorithm, each triangle counted once at its lowest vertex) over the
+    part co-purchase graph: parts in the bottom quarter of the catalogue
+    (partkey ≤ |part|/4 — scale-independent) are linked when they share an
+    order. The whole chain — per-order co-purchase pairs, edge distinct,
+    wedge generation, closure check — is bucketed sorted-segment kernels;
+    oracle = a 3-way self-join on the same edge CTE."""
+    from ..ops.triangles import (distinct_pairs, triangle_count,
+                                 wedges_from_edges)
+
+    nparts = pq.ParquetFile(os.path.join(sf_dir, "part.parquet")
+                            ).metadata.num_rows
+    cutoff = nparts // 4
+    line = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch["l_partkey"],
+                                       pa.scalar(cutoff)))
+        return pa.table({"u": t["l_orderkey"].cast(pa.int64()),
+                         "v": t["l_partkey"].cast(pa.int64())})
+
+    # (order, part) distinct → per-order part pairs (p1 < p2) via the same
+    # sorted-segment wedge kernel → distinct undirected edges
+    order_part = distinct_pairs(line.map_batches(prep,
+                                                 batch_format="pyarrow"))
+    pairs = wedges_from_edges(order_part).map_batches(
+        lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow")
+    edges = distinct_pairs(pairs)
+    return triangle_count(edges)
+
+
 def q_contamination_hits(sf_dir: str):
     """Benchmark-contamination check, the decontamination shape every
     LLM-corpus pipeline needs: a small probe set (here: a 40-char probe from
@@ -2076,6 +2108,7 @@ QUERIES = {
     "zorder_lineitem": q_zorder_lineitem,
     "group_median": q_group_median,
     "contamination_hits": q_contamination_hits,
+    "triangles_parts": q_triangles_parts,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2366,6 +2399,19 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "triangles_parts": """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem
+            WHERE l_partkey <= (SELECT count(*) FROM part) // 4),
+        e AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
+        SELECT (SELECT CAST(count(*) AS BIGINT)
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges""",
     "contamination_hits": """
         WITH seeds AS (
             SELECT doc_id AS probe_doc, substr(text, 1, 40) AS probe

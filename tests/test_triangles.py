@@ -1,0 +1,55 @@
+"""Triangle counting (ops/triangles.py) vs brute force."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ner_backend_ray.ops.triangles import (distinct_pairs, triangle_count,
+                                           wedges_from_edges)
+
+RNG = np.random.default_rng(17)
+
+
+def _brute_triangles(edge_set):
+    nodes = sorted({x for e in edge_set for x in e})
+    return sum(1 for u, v, w in itertools.combinations(nodes, 3)
+               if (u, v) in edge_set and (u, w) in edge_set
+               and (v, w) in edge_set)
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    n_nodes, n_edges = 60, 400
+    a = RNG.integers(0, n_nodes, n_edges)
+    b = RNG.integers(0, n_nodes, n_edges)
+    keep = a != b
+    u = np.minimum(a[keep], b[keep]).astype(np.int64)
+    v = np.maximum(a[keep], b[keep]).astype(np.int64)
+    edge_set = set(zip(u.tolist(), v.tolist()))
+    ds = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(5)
+    edges = distinct_pairs(ds, n_buckets=8)
+    got = triangle_count(edges, n_buckets=8).to_pandas()
+    assert got["n_edges"].iloc[0] == len(edge_set)
+    assert got["n_triangles"].iloc[0] == _brute_triangles(edge_set)
+
+
+def test_wedges_are_ordered_neighbor_pairs(ray_session):
+    # star at node 0 with leaves 1,2,3 → C(3,2)=3 wedges, all v<w
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array([0, 0, 0], pa.int64()),
+        "v": pa.array([3, 1, 2], pa.int64())}))
+    w = wedges_from_edges(ds, n_buckets=4).to_pandas()
+    got = sorted(map(tuple, w[["v", "w"]].values.tolist()))
+    assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_triangle_count_empty_and_triangle_free(ray_session):
+    # a path graph has zero triangles
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([2, 3, 4], pa.int64())}))
+    got = triangle_count(ds, n_buckets=4).to_pandas()
+    assert got["n_triangles"].iloc[0] == 0 and got["n_edges"].iloc[0] == 3
