@@ -1377,32 +1377,49 @@ def q_tfidf_rare_terms(sf_dir: str):
             "doc_id": batch["doc_id"].take(pa.array(parent[keep])),
             "token": flat.filter(pa.array(keep))}))
 
-    def tf_part(batch: pa.Table) -> pa.Table:
-        t = explode(batch)
-        agg = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["lang", "token", "ptf"])
+    # ONE scan: both tf and df partials come off the same per-block explode
+    # as a discriminated union, and a single token-bucket groupby completes
+    # both aggregates AND the tf⋈df join inside each bucket (the tokenize
+    # pass is the dominant cost; the old plan paid it twice plus two
+    # sort-aggregates and a separate bucket join).
+    n_buckets = buckets_for(
+        parquet_bytes(os.path.join(sf_dir, "documents.parquet")))
 
-    def df_part(batch: pa.Table) -> pa.Table:
+    def both_parts(batch: pa.Table) -> pa.Table:
         t = explode(batch)
+        tf = (t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+              .rename_columns(["lang", "token", "n"]))
         pairs = t.group_by(["token", "doc_id"]).aggregate([])
-        agg = pairs.group_by("token").aggregate([([], "count_all")])
-        return agg.rename_columns(["token", "pdf"])
+        df = (pairs.group_by("token").aggregate([([], "count_all")])
+              .rename_columns(["token", "n"]))
+        tf = tf.append_column("kind", pa.array(["t"] * tf.num_rows))
+        dfp = pa.table({"lang": pa.nulls(df.num_rows, pa.string()),
+                        "token": df["token"], "n": df["n"],
+                        "kind": pa.array(["d"] * df.num_rows)})
+        allp = pa.concat_tables([tf.select(["lang", "token", "n", "kind"]),
+                                 dfp])
+        return allp.append_column("__b", _bucket_of(allp["token"],
+                                                    n_buckets))
 
-    tf = (ds.map_batches(tf_part, batch_format="pyarrow")
-          .groupby(["lang", "token"])
-          .aggregate(Sum("ptf", alias_name="tf")))
-    df = (ds.map_batches(df_part, batch_format="pyarrow")
-          .groupby("token")
-          .aggregate(Sum("pdf", alias_name="df")))
-    joined = bucket_hash_join(tf, df, "token", n_buckets=buckets_for(
-        parquet_bytes(os.path.join(sf_dir, "documents.parquet"))))
+    def bucket_score(g: pa.Table) -> pa.Table:
+        kind = g["kind"]
+        tf = (g.filter(pc.equal(kind, "t"))
+              .select(["lang", "token", "n"])
+              .group_by(["lang", "token"]).aggregate([("n", "sum")])
+              .rename_columns(["lang", "token", "tf"]))
+        df = (g.filter(pc.equal(kind, "d"))
+              .select(["token", "n"])
+              .group_by("token").aggregate([("n", "sum")])
+              .rename_columns(["token", "df"]))
+        j = tf.join(df, keys="token", join_type="inner")
+        s = pc.divide(pc.multiply(j["tf"], pa.scalar(1_000_000)),
+                      j["df"])  # int64 floor division
+        return (j.select(["lang", "token", "tf", "df"])
+                .append_column("score", s.cast(pa.int64())))
 
-    def score(batch: pa.Table) -> pa.Table:
-        s = pc.divide(pc.multiply(batch["tf"], pa.scalar(1_000_000)),
-                      batch["df"])  # int64 floor division
-        return batch.append_column("score", s.cast(pa.int64()))
-
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    scored = (ds.map_batches(both_parts, batch_format="pyarrow")
+              .groupby("__b").map_groups(bucket_score,
+                                         batch_format="pyarrow"))
     K = 5
 
     def local_topk(batch: pa.Table) -> pa.Table:
