@@ -19,10 +19,14 @@ Plan shape, all existing primitives:
    COUNT partials reach the final 1-row aggregate.
 
 Scale notes: wedge volume is Σ_u C(outdeg(u), 2) — the algorithm's
-intrinsic cost. Orienting low→high bounds it by the skew of the id order;
-the standard degree-ordering refinement (orient toward higher degree) drops
-worst-case hub blowup and composes here by re-labelling ids by degree rank
-first (a groupby + the global scan) — left to the caller, noted for 100×.
+intrinsic cost. Orienting low→high is id-order-skew-sensitive (a low-id hub
+owns all its wedges); ``orient="degree"`` applies the standard refinement —
+orient each edge toward the higher (degree, id) — which caps every node's
+out-degree at O(√E) and therefore total wedges at O(E^1.5) regardless of
+hubs. The degree table is built with one combiner groupby and applied with
+two bucket joins; the triangle count is orientation-invariant (each
+triangle is counted exactly once at its unique source under any acyclic
+orientation), which the tests assert on hub-heavy graphs.
 """
 
 from __future__ import annotations
@@ -106,19 +110,106 @@ def distinct_pairs(pairs: ray.data.Dataset, n_buckets: int = 32
             .groupby("__b").map_groups(dedupe, batch_format="pyarrow"))
 
 
-def triangle_count(edges: ray.data.Dataset, n_buckets: int = 32
-                   ) -> ray.data.Dataset:
-    """1-row (n_triangles, n_edges) over a distinct low→high edge list."""
+def _degree_table(edges: ray.data.Dataset, n_buckets: int
+                  ) -> ray.data.Dataset:
+    """(node, deg) over an undirected edge list — per-block value_counts
+    partials, bucketed sum."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array([batch["u"].cast(pa.int64()),
+                                  batch["v"].cast(pa.int64())])
+        vc = nodes.combine_chunks().value_counts()
+        t = pa.table({"node": vc.field("values"),
+                      "pn": vc.field("counts").cast(pa.int64())})
+        return t.append_column("__b", _bucket_of(t["node"], n_buckets))
+
+    def sum_group(g: pa.Table) -> pa.Table:
+        agg = (g.select(["node", "pn"]).group_by("node")
+               .aggregate([("pn", "sum")]))
+        return agg.rename_columns(["node", "deg"])
+
+    return (edges.map_batches(part, batch_format="pyarrow")
+            .groupby("__b").map_groups(sum_group, batch_format="pyarrow"))
+
+
+def _attach_deg(es: ray.data.Dataset, deg: ray.data.Dataset, key: str,
+                out: str, carry: list[str],
+                n_buckets: int) -> ray.data.Dataset:
+    """Bucket-join: append column ``out`` = deg(es[key]) to ``es``."""
+
+    def tag_e(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c].cast(pa.int64()) for c in carry}
+        cols["node"] = batch[key].cast(pa.int64())
+        cols["deg"] = pa.nulls(batch.num_rows, pa.int64())
+        cols["__side"] = pa.array(["e"] * batch.num_rows)
+        t = pa.table(cols)
+        return t.append_column("__b", _bucket_of(t["node"], n_buckets))
+
+    def tag_d(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pa.nulls(n, pa.int64()) for c in carry}
+        cols["node"] = batch["node"].cast(pa.int64())
+        cols["deg"] = batch["deg"].cast(pa.int64())
+        cols["__side"] = pa.array(["d"] * n)
+        t = pa.table(cols)
+        return t.append_column("__b", _bucket_of(t["node"], n_buckets))
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        e = g.filter(pc.equal(side, "e")).select(carry + ["node"])
+        d = g.filter(pc.equal(side, "d")).select(["node", "deg"])
+        j = e.join(d, keys="node", join_type="inner")
+        return (j.select(carry + ["deg"])
+                .rename_columns(carry + [out]))
+
+    return (es.map_batches(tag_e, batch_format="pyarrow")
+            .union(deg.map_batches(tag_d, batch_format="pyarrow"))
+            .groupby("__b").map_groups(join_group, batch_format="pyarrow"))
+
+
+def orient_by_degree(edges: ray.data.Dataset, n_buckets: int = 32
+                     ) -> ray.data.Dataset:
+    """Re-orient each undirected edge toward the higher (degree, id): the
+    source is the (deg, id)-smaller endpoint, capping every out-degree at
+    O(√E). Output columns (u, v) = (src, dst); no longer u < v numerically,
+    but the orientation is acyclic, which is all the wedge count needs."""
+    deg = _degree_table(edges, n_buckets).materialize()
+    with_du = _attach_deg(edges, deg, "u", "du", ["u", "v"], n_buckets)
+    with_both = _attach_deg(with_du, deg, "v", "dv", ["u", "v", "du"],
+                            n_buckets)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        du = batch["du"].to_numpy(zero_copy_only=False)
+        dv = batch["dv"].to_numpy(zero_copy_only=False)
+        swap = (dv < du) | ((dv == du) & (v < u))
+        return pa.table({"u": pa.array(np.where(swap, v, u)),
+                         "v": pa.array(np.where(swap, u, v))})
+
+    return with_both.map_batches(orient, batch_format="pyarrow")
+
+
+def triangle_count(edges: ray.data.Dataset, n_buckets: int = 32,
+                   orient: str = "id") -> ray.data.Dataset:
+    """1-row (n_triangles, n_edges) over a distinct low→high edge list.
+    ``orient="degree"`` re-orients by (degree, id) first — same count
+    (any acyclic orientation charges each triangle to exactly one source),
+    hub-proof wedge volume."""
     edges = edges.materialize()
     n_edges = edges.count()
+    if orient == "degree":
+        edges = orient_by_degree(edges, n_buckets).materialize()
     wedges = wedges_from_edges(edges, n_buckets)
 
     def fuse(side: str):
         def f(batch: pa.Table) -> pa.Table:
             a = batch["u" if side == "e" else "v"].cast(pa.int64())
             b = batch["v" if side == "e" else "w"].cast(pa.int64())
+            lo = pc.min_element_wise(a, b)   # canonical undirected key —
+            hi = pc.max_element_wise(a, b)   # orientation-independent
             key = pc.bit_wise_or(
-                pc.shift_left(a, pa.scalar(32, pa.int64())), b)
+                pc.shift_left(lo, pa.scalar(32, pa.int64())), hi)
             t = pa.table({"k": key,
                           "is_edge": pa.array(
                               np.full(batch.num_rows, 1 if side == "e"

@@ -1497,6 +1497,10 @@ def q_triangles_parts(sf_dir: str):
     pairs = wedges_from_edges(order_part).map_batches(
         lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow")
     edges = distinct_pairs(pairs)
+    # id orientation: at this catalogue's degree skew the hub-proof
+    # orient="degree" path (O(E^1.5) wedge cap, count-invariant — tested)
+    # trims wedges only ~20% while adding three fixed shuffles; it is the
+    # right default once hub wedge volume, not scheduling, dominates
     return triangle_count(edges)
 
 

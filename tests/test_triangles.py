@@ -46,6 +46,29 @@ def test_wedges_are_ordered_neighbor_pairs(ray_session):
     assert got == [(1, 2), (1, 3), (2, 3)]
 
 
+def test_degree_orientation_same_count_on_hub_graph(ray_session):
+    # hub 0 connected to all, plus a random sparse layer — degree
+    # orientation must not change the count
+    n_nodes = 40
+    hub_u = np.zeros(n_nodes - 1, np.int64)
+    hub_v = np.arange(1, n_nodes, dtype=np.int64)
+    a = RNG.integers(1, n_nodes, 150)
+    b = RNG.integers(1, n_nodes, 150)
+    keep = a != b
+    u = np.concatenate([hub_u, np.minimum(a[keep], b[keep])])
+    v = np.concatenate([hub_v, np.maximum(a[keep], b[keep])])
+    edge_set = set(zip(u.tolist(), v.tolist()))
+    ds = ray.data.from_arrow(pa.table(
+        {"u": u.astype(np.int64), "v": v.astype(np.int64)})).repartition(4)
+    edges = distinct_pairs(ds, n_buckets=8)
+    by_id = triangle_count(edges, n_buckets=8).to_pandas()
+    by_deg = triangle_count(edges, n_buckets=8,
+                            orient="degree").to_pandas()
+    expect = _brute_triangles(edge_set)
+    assert by_id["n_triangles"].iloc[0] == expect
+    assert by_deg["n_triangles"].iloc[0] == expect
+
+
 def test_triangle_count_empty_and_triangle_free(ray_session):
     # a path graph has zero triangles
     ds = ray.data.from_arrow(pa.table({
