@@ -1468,6 +1468,38 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension moment statistics over the embedding tensor column —
+    the array-column combiner shape: each block's list<float> column is one
+    zero-copy (n, 64) float matrix, quantized to micro-units (float64 math,
+    so DuckDB's DOUBLE promotion agrees bit-for-bit) and reduced to 64
+    partial rows (dim, n, Σx, Σx²) by vectorized column sums; the final
+    groupby moves 64 rows per block. Width budget: |x|≲10 → x²≲1e14
+    micro²-units, safe in int64 past 10⁴ rows per partial and summed in
+    int64 to ~10⁵ blocks; beyond that the partials shard by (dim, block
+    range) like grouped_moments."""
+    ds = _tbl(sf_dir, "embeddings", ["embedding"])
+    DIMS = 64
+
+    def part(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, DIMS)
+        q = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(DIMS, dtype=np.int64)),
+            "pn": pa.array(np.full(DIMS, q.shape[0], np.int64)),
+            "ps": pa.array(q.sum(axis=0, dtype=np.int64)),
+            "pss": pa.array((q * q).sum(axis=0, dtype=np.int64))})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("dim")
+            .aggregate(Sum("pn", alias_name="n"),
+                       Sum("ps", alias_name="sum_micro"),
+                       Sum("pss", alias_name="sumsq_micro")))
+
+
 def q_triangles_parts(sf_dir: str):
     """Distributed triangle counting (ops/triangles.py — the wedge-check
     algorithm, each triangle counted once at its lowest vertex) over the
@@ -2130,6 +2162,7 @@ QUERIES = {
     "group_median": q_group_median,
     "contamination_hits": q_contamination_hits,
     "triangles_parts": q_triangles_parts,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2420,6 +2453,16 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "embedding_dim_stats": """
+        WITH q AS (
+            SELECT d.d AS dim,
+                   CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS x
+            FROM embeddings, range(64) d(d))
+        SELECT dim, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sum_micro,
+               CAST(sum(x * x) AS BIGINT) AS sumsq_micro
+        FROM q GROUP BY 1""",
     "triangles_parts": """
         WITH li AS (
             SELECT DISTINCT l_orderkey AS o, l_partkey AS p
