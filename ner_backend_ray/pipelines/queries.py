@@ -1468,6 +1468,53 @@ def q_pagerank_parts(sf_dir: str):
         2 * parquet_bytes(os.path.join(sf_dir, "lineitem.parquet"))))
 
 
+def q_full_join_reconcile(sf_dir: str):
+    """FULL OUTER join completing the join family: reconcile urgent orders
+    against purchase events by shared id — both sides have unmatched rows
+    (urgent ids past the event range; purchase ids of non-urgent orders),
+    so all three match states are exercised. The bucket join's Acero
+    full-outer merge coalesces keys; status falls out of per-side null
+    masks, rolled up to 3 rows."""
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    events = _tbl(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def left(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        return pa.table({"k": t["o_orderkey"].cast(pa.int64()),
+                         "cents": _cents(t["o_totalprice"])})
+
+    def right(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table({"k": t["event_id"].cast(pa.int64()),
+                         "vc": _cents(t["value"])})
+
+    j = bucket_hash_join(
+        orders.map_batches(left, batch_format="pyarrow"),
+        events.map_batches(right, batch_format="pyarrow"),
+        "k", how="outer",
+        n_buckets=buckets_for(
+            parquet_bytes(os.path.join(sf_dir, "orders.parquet"))))
+
+    def status_part(batch: pa.Table) -> pa.Table:
+        ln = pc.is_null(batch["cents"]).to_numpy(zero_copy_only=False)
+        rn = pc.is_null(batch["vc"]).to_numpy(zero_copy_only=False)
+        status = np.where(ln, "right_only",
+                          np.where(rn, "left_only", "both"))
+        t = pa.table({"status": pa.array(status, pa.string()),
+                      "cents": batch["cents"].fill_null(0),
+                      "vc": batch["vc"].fill_null(0)})
+        agg = t.group_by("status").aggregate(
+            [("cents", "sum"), ("vc", "sum"), ([], "count_all")])
+        return agg.rename_columns(["status", "pc_", "pv", "pn"])
+
+    return (j.map_batches(status_part, batch_format="pyarrow")
+            .groupby("status")
+            .aggregate(Sum("pn", alias_name="n"),
+                       Sum("pc_", alias_name="sum_cents"),
+                       Sum("pv", alias_name="sum_value_cents")))
+
+
 def q_embedding_dim_stats(sf_dir: str):
     """Per-dimension moment statistics over the embedding tensor column —
     the array-column combiner shape: each block's list<float> column is one
@@ -2163,6 +2210,7 @@ QUERIES = {
     "contamination_hits": q_contamination_hits,
     "triangles_parts": q_triangles_parts,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "full_join_reconcile": q_full_join_reconcile,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2453,6 +2501,23 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "full_join_reconcile": """
+        WITH l AS (
+            SELECT o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders WHERE o_orderpriority = '1-URGENT'),
+        r AS (
+            SELECT event_id AS k,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM events WHERE event_type = 'purchase')
+        SELECT CASE WHEN l.k IS NULL THEN 'right_only'
+                    WHEN r.k IS NULL THEN 'left_only'
+                    ELSE 'both' END AS status,
+               count(*) AS n,
+               CAST(sum(COALESCE(l.cents, 0)) AS BIGINT) AS sum_cents,
+               CAST(sum(COALESCE(r.vc, 0)) AS BIGINT) AS sum_value_cents
+        FROM l FULL OUTER JOIN r ON l.k = r.k
+        GROUP BY 1""",
     "embedding_dim_stats": """
         WITH q AS (
             SELECT d.d AS dim,
