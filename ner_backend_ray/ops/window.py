@@ -125,6 +125,66 @@ def session_windows(events: ray.data.Dataset, ts_col: str = "ts",
                                        batch_format="pyarrow"))
 
 
+def partitioned_range_sum(events: ray.data.Dataset, key_col: str,
+                          ts_col: str, value_col: str,
+                          win: int,
+                          n_buckets: int | None = None) -> ray.data.Dataset:
+    """SQL RANGE-frame window: per ``key_col``, ordered by ``ts_col``
+    (int64), the inclusive sum of ``value_col`` over
+    [ts − win, ts] — i.e. ``SUM(v) OVER (PARTITION BY key ORDER BY ts
+    RANGE BETWEEN win PRECEDING AND CURRENT ROW)``, peers (equal ts)
+    included, exactly as SQL defines CURRENT ROW for RANGE frames.
+
+    Fully vectorized across every partition in a bucket: rows sort by
+    (key, ts); each segment's timestamps are lifted onto disjoint int64
+    lanes (segment_id · 2^44 + (ts − segment min), asserted to fit) so ONE
+    global searchsorted finds every row's frame start and the frame sum is
+    a cumsum difference — no per-key Python, no per-row loop.
+
+    Returns (key, ts, value, range_sum) rows."""
+    import numpy as np
+
+    from .joins import _bucket_of, buckets_for
+    n_buckets = n_buckets or buckets_for(0)
+    LANE = np.int64(1) << np.int64(44)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b", _bucket_of(batch[key_col],
+                                                     n_buckets))
+
+    def range_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__b"])
+        if t.num_rows == 0:
+            return t.append_column("range_sum", pa.array([], pa.int64()))
+        idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
+                                            (ts_col, "ascending")])
+        t = g.take(idx).drop_columns(["__b"])
+        k = np.asarray(t[key_col].to_numpy(zero_copy_only=False))
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(k)
+        newseg = np.empty(n, dtype=bool)
+        newseg[0] = True
+        newseg[1:] = k[1:] != k[:-1]
+        seg_id = np.cumsum(newseg) - 1
+        starts = np.flatnonzero(newseg)
+        seg_min = ts[starts]
+        span = ts - seg_min[seg_id]
+        if span.size and int(span.max()) + win >= int(LANE):
+            raise ValueError("partitioned_range_sum: per-key time span + "
+                             "window exceeds the 2^44 lane width")
+        comp = seg_id.astype(np.int64) * LANE + span
+        left = np.searchsorted(comp, comp - win, side="left")
+        right = np.searchsorted(comp, comp, side="right")  # peers included
+        cum = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
+        rng = cum[right] - cum[left]
+        return t.append_column("range_sum", pa.array(rng))
+
+    return (events.map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(range_bucket,
+                                       batch_format="pyarrow"))
+
+
 def partitioned_running(events: ray.data.Dataset, key_col: str,
                         order_cols: list[str], value_col: str,
                         lag_fill: int = -1,

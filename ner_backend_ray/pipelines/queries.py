@@ -1884,6 +1884,30 @@ def q_running_total(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_range_window(sf_dir: str):
+    """RANGE-frame window function (ops/window.py::partitioned_range_sum):
+    per user, the sum of event value cents over the trailing hour — the
+    time-based frame ROWS can't express (frame width varies per row, peers
+    share a frame). One bucket shuffle; every partition's frames resolve in
+    one global searchsorted over lane-lifted timestamps."""
+    from ..ops.window import partitioned_range_sum
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "ts_i": batch["ts"].cast(pa.int64()),
+                         "vc": _cents(batch["value"])})
+
+    out = partitioned_range_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                                key_col="user_id", ts_col="ts_i",
+                                value_col="vc", win=3_600_000_000)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "range_sum"]),
+        batch_format="pyarrow")
+
+
 def q_dates_intersect(sf_dir: str):
     """SQL INTERSECT (ops/setops.py::distinct_intersect): order dates that
     carry BOTH an urgent and a non-urgent order. Per-block distinct + side
@@ -2211,6 +2235,7 @@ QUERIES = {
     "triangles_parts": q_triangles_parts,
     "embedding_dim_stats": q_embedding_dim_stats,
     "full_join_reconcile": q_full_join_reconcile,
+    "range_window": q_range_window,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2501,6 +2526,13 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "range_window": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS range_sum
+        FROM events""",
     "full_join_reconcile": """
         WITH l AS (
             SELECT o_orderkey AS k,

@@ -41,6 +41,27 @@ def test_setops_multi_column(ray_session):
     assert exc == [[1, "a"]]
 
 
+def test_partitioned_range_sum_matches_brute_force(ray_session):
+    from ner_backend_ray.ops.window import partitioned_range_sum
+    n, win = 3_000, 50
+    keys = RNG.integers(0, 40, n).astype(np.int64)
+    ts = RNG.integers(0, 500, n).astype(np.int64)  # heavy ties → peers
+    vals = RNG.integers(-9, 10, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": keys, "t": ts, "v": vals})).repartition(7)
+    out = (partitioned_range_sum(ds, "k", "t", "v", win=win, n_buckets=8)
+           .to_pandas())
+    # brute force: all rows of same key with t in [t_i - win, t_i]
+    got = {(r.k, r.t): r.range_sum for r in out.itertuples()}
+    for kk in np.unique(keys):
+        m = keys == kk
+        tk, vk = ts[m], vals[m]
+        for t0 in np.unique(tk):
+            expect = int(vk[(tk >= t0 - win) & (tk <= t0)].sum())
+            assert got[(kk, t0)] == expect
+    assert len(out) == n
+
+
 def test_partitioned_running_matches_pandas(ray_session):
     n = 2_000
     df = pd.DataFrame({
