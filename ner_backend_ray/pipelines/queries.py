@@ -1515,6 +1515,61 @@ def q_full_join_reconcile(sf_dir: str):
                        Sum("pv", alias_name="sum_value_cents")))
 
 
+def q_cc_parts(sf_dir: str):
+    """Distributed connected components (ops/cc.py large-star/small-star)
+    oracle-checked DIRECTLY (it already backs the near-dup clustering
+    queries transitively): component sizes of the part co-purchase graph,
+    keyed by each component's min node id. Edges require co-purchase
+    SUPPORT ≥ 2 (the pair shares ≥2 distinct orders) — the support filter
+    keeps the graph sparse enough to split into many components (a richer
+    check than one giant blob, and a tractable closure for the oracle).
+    The star forest omits the root's own row (union-find contract), so
+    size = member rows + 1; the oracle is the recursive-CTE transitive
+    closure with least(min(other), node)."""
+    from ..ops.cc import connected_components
+    from ..ops.triangles import distinct_pairs, wedges_from_edges
+
+    nparts = pq.ParquetFile(os.path.join(sf_dir, "part.parquet")
+                            ).metadata.num_rows
+    cutoff = nparts // 4
+    line = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch["l_partkey"],
+                                       pa.scalar(cutoff)))
+        return pa.table({"u": t["l_orderkey"].cast(pa.int64()),
+                         "v": t["l_partkey"].cast(pa.int64())})
+
+    order_part = distinct_pairs(line.map_batches(prep,
+                                                 batch_format="pyarrow"))
+    pairs = wedges_from_edges(order_part).map_batches(
+        lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow")
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["u", "v", "pn"])
+
+    edges = (pairs.map_batches(pair_counts, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Sum("pn", alias_name="n"))
+             .map_batches(lambda t: t.filter(
+                 pc.greater_equal(t["n"], pa.scalar(2)))
+                 .select(["u", "v"]), batch_format="pyarrow"))
+    cc = connected_components(edges, a_col="u", b_col="v")
+
+    def part(batch: pa.Table) -> pa.Table:
+        agg = (batch.select(["root"]).group_by("root")
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns(["root", "pn"])
+
+    sizes = (cc.map_batches(part, batch_format="pyarrow")
+             .groupby("root").aggregate(Sum("pn", alias_name="n")))
+    return sizes.map_batches(
+        lambda t: pa.table({"root": t["root"].cast(pa.int64()),
+                            "n_members": pc.add(t["n"], pa.scalar(
+                                1, pa.int64())).cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_embedding_dim_stats(sf_dir: str):
     """Per-dimension moment statistics over the embedding tensor column —
     the array-column combiner shape: each block's list<float> column is one
@@ -2236,6 +2291,7 @@ QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "full_join_reconcile": q_full_join_reconcile,
     "range_window": q_range_window,
+    "cc_parts": q_cc_parts,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2526,6 +2582,26 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "cc_parts": """
+        WITH RECURSIVE li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem
+            WHERE l_partkey <= (SELECT count(*) FROM part) // 4),
+        e AS (
+            SELECT a.p AS u, b.p AS v
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (SELECT u AS a, v AS b FROM e
+                UNION SELECT v AS a, u AS b FROM e),
+        cl AS (
+            SELECT a AS node, b AS other FROM sym
+            UNION
+            SELECT cl.node, s.b AS other FROM cl JOIN sym s
+            ON cl.other = s.a WHERE s.b <> cl.node)
+        SELECT root, CAST(count(*) AS BIGINT) AS n_members FROM (
+            SELECT node, least(min(other), node) AS root
+            FROM cl GROUP BY node)
+        GROUP BY root""",
     "range_window": """
         SELECT user_id, event_id,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
