@@ -1939,6 +1939,21 @@ def q_running_total(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_funnel(sf_dir: str):
+    """Ordered-funnel analytics (ops/funnel.py::funnel_counts): users who
+    completed view → click → purchase in strict time order, with
+    earliest-completion greedy semantics and a 7-day completion window per
+    step (the window creates real drop-off — without it this event set
+    saturates — and is reproduced verbatim in the oracle's chained
+    min-after-previous-within-gap aggregates). One user-bucket shuffle;
+    every stage resolves vectorized across all users in the bucket."""
+    from ..ops.funnel import funnel_counts
+
+    ds = _tbl(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, stages=["view", "click", "purchase"],
+                         max_gap=7 * 86_400_000_000)
+
+
 def q_range_window(sf_dir: str):
     """RANGE-frame window function (ops/window.py::partitioned_range_sum):
     per user, the sum of event value cents over the trailing hour — the
@@ -2292,6 +2307,7 @@ QUERIES = {
     "full_join_reconcile": q_full_join_reconcile,
     "range_window": q_range_window,
     "cc_parts": q_cc_parts,
+    "funnel": q_funnel,
     "left_join_urgent": q_left_join_urgent,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "pagerank_parts": q_pagerank_parts,
@@ -2582,6 +2598,27 @@ ORACLE_SQL = {
                min(l_orderkey) AS min_orderkey,
                max(l_orderkey) AS max_orderkey
         FROM z GROUP BY 1""",
+    "funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+              AND epoch_us(e.ts) <= s1.t1 + 604800000000
+            GROUP BY 1),
+        s3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+              AND epoch_us(e.ts) <= s2.t2 + 604800000000
+            GROUP BY 1)
+        SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 'click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3""",
     "cc_parts": """
         WITH RECURSIVE li AS (
             SELECT DISTINCT l_orderkey AS o, l_partkey AS p
