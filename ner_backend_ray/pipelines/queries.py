@@ -2266,16 +2266,76 @@ def q_grouped_quantile_sketch(sf_dir: str) -> pa.Table:
 # registries
 # --------------------------------------------------------------------------
 
+# Ordering contract: the driver oracle-checks only the FIRST 50 entries, so the
+# dict is ordered by verification priority, not history. Front: the KG flagship
+# family and the most recently reworked operators (near-dup, ANN, DSL, windows,
+# graph). Tail: long-stable relational queries that have been green since r2.
+# When adding a query, insert it BEFORE the tail block and demote a stable one.
 QUERIES = {
+    # -- KG flagship family (graph phase reworked in r4; must stay in-window) --
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "kg_groups": q_kg_groups,
+    "kg_nodes": q_kg_nodes,
+    "kg_edges": q_kg_edges,
+    "kg_search": q_kg_search,
+    # -- near-dup / fingerprint family --
+    "minhash_neardups": q_minhash_neardups,
+    "simhash_neardups": q_simhash_neardups,
+    "embedding_neardups": q_embedding_neardups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "fingerprints": q_fingerprints,
+    # -- ANN family (merge path reworked in r5) --
+    "ann_topk": q_ann_topk,
+    "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    # -- inference / DSL / redaction --
+    "dsl_groups": q_dsl_groups,
+    "preview": q_preview,
+    "redacted_docs": q_redacted_docs,
+    "regex_mention_runs": q_regex_mention_runs,
+    "lang_pred_confusion": q_lang_pred_confusion,
+    # -- recent operators --
+    "kmeans_clusters": q_kmeans_clusters,
+    "corpus_prep": q_corpus_prep,
+    "sequence_packing": q_sequence_packing,
+    "price_ntile": q_price_ntile,
+    "events_unpivot": q_events_unpivot,
+    "grouped_quantile_sketch": q_grouped_quantile_sketch,
+    "dates_except": q_dates_except,
+    # -- oracle-dtype fixes landed in r5; need a fresh green row --
+    "bloom_semi_urgent": q_bloom_semi_urgent,
+    "price_histogram": q_price_histogram,
+    # -- high-value ops kept in-window --
+    "asof_prev_event": q_asof_prev_event,
+    "range_prior_pairs": q_range_prior_pairs,
+    "funnel": q_funnel,
+    "cc_parts": q_cc_parts,
+    "pagerank_parts": q_pagerank_parts,
+    "bfs_order_part": q_bfs_order_part,
+    "triangles_parts": q_triangles_parts,
+    "zorder_lineitem": q_zorder_lineitem,
+    "range_window": q_range_window,
+    "running_total": q_running_total,
+    "value_quantile_sketch": q_value_quantile_sketch,
+    "hll_distinct": q_hll_distinct,
+    "cms_token_counts": q_cms_token_counts,
+    "anti_no_urgent": q_anti_no_urgent,
+    "hash_split_counts": q_hash_split_counts,
+    "stratified_sample": q_stratified_sample,
+    "sessions": q_sessions,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "tfidf_rare_terms": q_tfidf_rare_terms,
+    "contamination_hits": q_contamination_hits,
+    "group_median": q_group_median,
+    # ---- tail: long-stable relational queries (green since r2-r3) ----
     "dedup_exact": q_dedup_exact,
     "doc_quality": q_doc_quality,
     "quality_filter": q_quality_filter,
     "lang_counts": q_lang_counts,
     "token_totals": q_token_totals,
-    "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
     "topk_per_group": q_topk_per_group,
-    "sessions": q_sessions,
     "events_json": q_events_json,
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_part": q_join_lineitem_part,
@@ -2283,65 +2343,18 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "topk_orders": q_topk_orders,
     "distinct_segments": q_distinct_segments,
-    "ann_topk": q_ann_topk,
     "embedding_pairs_exact": q_embedding_pairs_exact,
-    "asof_prev_event": q_asof_prev_event,
-    "range_prior_pairs": q_range_prior_pairs,
     "price_quantiles": q_price_quantiles,
     "top_tokens": q_top_tokens,
-    "value_quantile_sketch": q_value_quantile_sketch,
-    "hll_distinct": q_hll_distinct,
-    "cms_token_counts": q_cms_token_counts,
-    "bloom_semi_urgent": q_bloom_semi_urgent,
-    "anti_no_urgent": q_anti_no_urgent,
-    "hash_split_counts": q_hash_split_counts,
-    "stratified_sample": q_stratified_sample,
     "events_pivot": q_events_pivot,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
-    "zorder_lineitem": q_zorder_lineitem,
-    "group_median": q_group_median,
-    "contamination_hits": q_contamination_hits,
-    "triangles_parts": q_triangles_parts,
     "embedding_dim_stats": q_embedding_dim_stats,
     "full_join_reconcile": q_full_join_reconcile,
-    "range_window": q_range_window,
-    "cc_parts": q_cc_parts,
-    "funnel": q_funnel,
     "left_join_urgent": q_left_join_urgent,
-    "tfidf_rare_terms": q_tfidf_rare_terms,
-    "pagerank_parts": q_pagerank_parts,
-    "bfs_order_part": q_bfs_order_part,
     "grouped_moments": q_grouped_moments,
-    "price_histogram": q_price_histogram,
     "segment_names": q_segment_names,
-    "running_total": q_running_total,
     "dates_intersect": q_dates_intersect,
-    "dates_except": q_dates_except,
-    "kmeans_clusters": q_kmeans_clusters,
-    "corpus_prep": q_corpus_prep,
-    "sequence_packing": q_sequence_packing,
-    "price_ntile": q_price_ntile,
-    "events_unpivot": q_events_unpivot,
-    "grouped_quantile_sketch": q_grouped_quantile_sketch,
-    "regex_mention_runs": q_regex_mention_runs,
-    "dsl_groups": q_dsl_groups,
-    "preview": q_preview,
-    "redacted_docs": q_redacted_docs,
-    "minhash_neardups": q_minhash_neardups,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash_neardups": q_simhash_neardups,
-    "embedding_neardups": q_embedding_neardups,
-    "lang_pred_confusion": q_lang_pred_confusion,
-    "lsh_topk": q_lsh_topk,
-    "ivf_topk": q_ivf_topk,
-    "fingerprints": q_fingerprints,
-    "kg_mentions": q_kg_mentions,
-    "kg_triples": q_kg_triples,
-    "kg_groups": q_kg_groups,
-    "kg_nodes": q_kg_nodes,
-    "kg_edges": q_kg_edges,
-    "kg_search": q_kg_search,
 }
 
 # coalesce_entities merges same-label mentions across ANY 1-byte gap (comma,
@@ -2506,8 +2519,8 @@ ORACLE_SQL = {
         GROUP BY 1, 2""",
     "bloom_semi_urgent": """
         SELECT l_returnflag,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                   AS revenue_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
                count(*) AS n
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -2800,7 +2813,8 @@ ORACLE_SQL = {
         GROUP BY l_returnflag, l_linestatus""",
     "price_histogram": """
         SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
                count(*) AS n
         FROM orders GROUP BY 1""",
     "segment_names": """
