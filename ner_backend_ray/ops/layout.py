@@ -49,7 +49,14 @@ def column_ranges(ds: ray.data.Dataset,
     """Global (min, max) per column via one combiner pass — one partial row
     per block reaches the driver."""
 
+    schema = pa.schema([(f"{c}_{side}", pa.int64())
+                        for c in cols for side in ("min", "max")])
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # pc.min/max on a zero-row block is null → None would poison
+            # the driver-side min()/max() below
+            return schema.empty_table()
         out = {}
         for c in cols:
             v = batch[c].cast(pa.int64())
@@ -58,6 +65,8 @@ def column_ranges(ds: ray.data.Dataset,
         return pa.table(out)
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("column_ranges: dataset has no rows")
     return {c: (min(r[f"{c}_min"] for r in rows),
                 max(r[f"{c}_max"] for r in rows)) for c in cols}
 

@@ -206,6 +206,16 @@ def triangle_count(edges: ray.data.Dataset, n_buckets: int = 32,
         def f(batch: pa.Table) -> pa.Table:
             a = batch["u" if side == "e" else "v"].cast(pa.int64())
             b = batch["v" if side == "e" else "w"].cast(pa.int64())
+            if batch.num_rows:
+                # (lo << 32) | hi is only injective for ids in [0, 2^32);
+                # a silent collision/overflow would mis-count, so validate.
+                mx = max(pc.max(a).as_py(), pc.max(b).as_py())
+                mn = min(pc.min(a).as_py(), pc.min(b).as_py())
+                if mn < 0 or mx >= (1 << 32):
+                    raise ValueError(
+                        "triangle_count: node ids must be in [0, 2^32) for "
+                        f"the fused closure key (saw [{mn}, {mx}]); remap "
+                        "ids densely first")
             lo = pc.min_element_wise(a, b)   # canonical undirected key —
             hi = pc.max_element_wise(a, b)   # orientation-independent
             key = pc.bit_wise_or(

@@ -137,16 +137,20 @@ def partitioned_range_sum(events: ray.data.Dataset, key_col: str,
 
     Fully vectorized across every partition in a bucket: rows sort by
     (key, ts); each segment's timestamps are lifted onto disjoint int64
-    lanes (segment_id · 2^44 + (ts − segment min), asserted to fit) so ONE
-    global searchsorted finds every row's frame start and the frame sum is
-    a cumsum difference — no per-key Python, no per-row loop.
+    lanes (segment_id · lane + (ts − segment min), lane sized to the data
+    as max_span + win + 1 and the full n_segments · lane product checked
+    against int64 — a fixed lane width would silently wrap negative once a
+    bucket holds ~2^19 keys) so ONE global searchsorted finds every row's
+    frame start and the frame sum is a cumsum difference — no per-key
+    Python, no per-row loop. Lane disjointness needs lane > max_span + win:
+    a frame start comp − win then lands strictly above the previous lane's
+    maximum occupied slot, so searchsorted can never cross segments.
 
     Returns (key, ts, value, range_sum) rows."""
     import numpy as np
 
     from .joins import _bucket_of, buckets_for
     n_buckets = n_buckets or buckets_for(0)
-    LANE = np.int64(1) << np.int64(44)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column("__b", _bucket_of(batch[key_col],
@@ -170,10 +174,16 @@ def partitioned_range_sum(events: ray.data.Dataset, key_col: str,
         starts = np.flatnonzero(newseg)
         seg_min = ts[starts]
         span = ts - seg_min[seg_id]
-        if span.size and int(span.max()) + win >= int(LANE):
-            raise ValueError("partitioned_range_sum: per-key time span + "
-                             "window exceeds the 2^44 lane width")
-        comp = seg_id.astype(np.int64) * LANE + span
+        # Lane width sized to the data; exact-int guard on the full extent
+        # so comp can never wrap int64 (a wrapped comp is no longer sorted
+        # and searchsorted returns silently wrong frames).
+        lane = int(span.max()) + int(win) + 1
+        if int(len(starts)) * lane > (1 << 63) - 1:
+            raise ValueError(
+                "partitioned_range_sum: n_segments * (max span + win + 1) "
+                f"= {len(starts)} * {lane} exceeds int64; raise n_buckets "
+                "so fewer keys land in one bucket")
+        comp = seg_id.astype(np.int64) * np.int64(lane) + span
         left = np.searchsorted(comp, comp - win, side="left")
         right = np.searchsorted(comp, comp, side="right")  # peers included
         cum = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])

@@ -35,6 +35,16 @@ from ..core.validators import filter_entities
 _WS = b" \t\n\r\x0b\x0c"
 
 
+def assembled_doc_schema() -> pa.Schema:
+    """Output schema of the per-doc assemble fn / ``tag_chunked_pages`` rows
+    (lazy import: tag.py imports this module's splitters)."""
+    from .tag import MENTION_TYPE
+    return pa.schema([("url", pa.string()),
+                      ("token_count", pa.int64()),
+                      ("mentions", pa.list_(MENTION_TYPE)),
+                      ("groups", pa.list_(pa.string()))])
+
+
 def split_into_chunks(text: bytes, max_chunk_bytes: int) -> list[tuple[int, bytes]]:
     """(offset, chunk) list; chunks concatenate byte-exactly to ``text``; splits
     happen at the last whitespace within the window (or hard at max if none)."""
@@ -205,9 +215,13 @@ def tag_chunked_pages(pages, cfg, max_chunk_bytes: int = 1 << 20,
         return batch.append_column("__b", _bucket_of(batch["url"],
                                                      n_buckets))
 
+    empty_doc_schema = assembled_doc_schema()
+
     def assemble_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return assemble(g.drop_columns(["__b"]))
+            # assemble() indexes row 0, so an empty group needs a typed
+            # empty table with its output schema, not a call into it
+            return empty_doc_schema.empty_table()
         idx = pc.sort_indices(g, sort_keys=[("url", "ascending")])
         t = g.take(idx).drop_columns(["__b"])
         urls = np.asarray(t["url"].to_pylist(), dtype=object)

@@ -60,3 +60,22 @@ def test_column_ranges(ray_session):
         "y": pa.array([0, 100, 50], pa.int64())})).repartition(2)
     r = column_ranges(ds, ["x", "y"])
     assert r == {"x": (-3, 9), "y": (0, 100)}
+
+
+def test_column_ranges_skips_empty_blocks(ray_session):
+    """Regression: pc.min/max on a zero-row block returned null -> None
+    poisoned the driver-side min()/max() with a TypeError."""
+    schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    empty = schema.empty_table()
+    data = pa.table({"x": pa.array([5, -3, 9], pa.int64()),
+                     "y": pa.array([0, 100, 50], pa.int64())})
+    ds = ray.data.from_arrow([empty, data, empty])
+    assert column_ranges(ds, ["x", "y"]) == {"x": (-3, 9), "y": (0, 100)}
+
+
+def test_column_ranges_all_empty_raises(ray_session):
+    import pytest
+    schema = pa.schema([("x", pa.int64())])
+    ds = ray.data.from_arrow(schema.empty_table())
+    with pytest.raises(ValueError, match="no rows"):
+        column_ranges(ds, ["x"])

@@ -266,3 +266,26 @@ def test_hot_key_skew_bounded_shuffle(ray_session):
     # 40k identical mentions → <= one partial row per block reaches the shuffle
     assert len(hot_rows) <= n_blocks
     assert sum(r["partial_count"] for r in hot_rows) == n_blocks * rows_per_block
+
+
+def test_assembled_doc_schema_matches_assemble_output():
+    """The empty-group table emitted by the bucketed assemble path must share
+    assemble()'s exact schema, or pa.concat_tables in the same stage fails."""
+    import pyarrow as pa
+
+    from ner_backend_ray.stages.chunk import (assembled_doc_schema,
+                                              make_assemble_docs)
+    assemble = make_assemble_docs(None, set(), None)
+    group = pa.table({
+        "url": pa.array(["http://a"], pa.string()),
+        "chunk_offset": pa.array([0], pa.int64()),
+        "chunk": pa.array([b"hello bob from spark"], pa.binary()),
+        "entities": pa.array([[]], pa.list_(pa.struct([
+            ("label", pa.string()), ("text", pa.binary()),
+            ("start", pa.int64()), ("end", pa.int64()),
+            ("lcontext", pa.binary()), ("rcontext", pa.binary())]))),
+    })
+    out = assemble(group)
+    assert out.schema == assembled_doc_schema()
+    merged = pa.concat_tables([out, assembled_doc_schema().empty_table()])
+    assert merged.num_rows == 1

@@ -84,3 +84,36 @@ def test_partitioned_running_matches_pandas(ray_session):
     for c in ("running", "prev", "rn"):
         np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy(),
                                       err_msg=c)
+
+
+def test_partitioned_range_sum_many_segments_one_bucket(ray_session):
+    """Regression: with a fixed 2^44 lane, seg_id * lane wrapped int64 once a
+    bucket held >= 2^19 distinct keys, silently corrupting frame sums. The
+    lane is now sized to the data (max span + win + 1)."""
+    from ner_backend_ray.ops.window import partitioned_range_sum
+    n = 600_000  # > 2^19 segments, all in ONE bucket
+    keys = np.arange(n, dtype=np.int64)
+    ts = np.zeros(n, dtype=np.int64)
+    vals = RNG.integers(-9, 10, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": keys, "t": ts, "v": vals})).repartition(4)
+    out = (partitioned_range_sum(ds, "k", "t", "v", win=1000, n_buckets=1)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # each key has exactly one row -> its frame sum is its own value
+    assert len(out) == n
+    np.testing.assert_array_equal(out["range_sum"].to_numpy(), vals)
+
+
+def test_partitioned_range_sum_extent_guard(ray_session):
+    """n_segments * lane exceeding int64 must raise, not wrap."""
+    import pytest
+
+    from ner_backend_ray.ops.window import partitioned_range_sum
+    n = 10_000
+    ds = ray.data.from_arrow(pa.table({
+        "k": np.arange(n, dtype=np.int64),
+        "t": np.zeros(n, dtype=np.int64),
+        "v": np.ones(n, dtype=np.int64)}))
+    with pytest.raises(Exception, match="exceeds int64"):
+        partitioned_range_sum(ds, "k", "t", "v", win=1 << 50,
+                              n_buckets=1).to_pandas()

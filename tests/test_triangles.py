@@ -76,3 +76,14 @@ def test_triangle_count_empty_and_triangle_free(ray_session):
         "v": pa.array([2, 3, 4], pa.int64())}))
     got = triangle_count(ds, n_buckets=4).to_pandas()
     assert got["n_triangles"].iloc[0] == 0 and got["n_edges"].iloc[0] == 3
+
+
+def test_triangle_count_rejects_wide_ids(ray_session):
+    """The fused closure key (lo << 32) | hi is only injective for ids in
+    [0, 2^32); out-of-range ids must raise, not silently mis-count."""
+    import pytest
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array([1 << 32], pa.int64()),
+        "v": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception, match="node ids"):
+        triangle_count(ds, n_buckets=2).to_pandas()
