@@ -2,9 +2,10 @@
 
 - ``brute_force_topk``: the exact baseline — the (small) query matrix is broadcast
   (``ray.put`` once / closure capture), each batch does one float64 matmul against
-  it and emits only its local top-k rows per query (combiner), then a single tiny
-  groupby-free merge on the driver reduces per-batch partials to global top-k.
-  No shuffle of the embedding table at all.
+  it and emits only its local top-k rows per query (combiner); a distributed
+  per-query merge (:func:`merge_topk`) then reduces the k·blocks·queries partial
+  rows to global top-k inside workers. Only the k·queries RESULT rows reach the
+  driver — no shuffle of the embedding table, no driver-side partial collection.
 - ``lsh_topk``: the scale path — random-hyperplane buckets with multi-probe: only
   vectors sharing a bucket with the query are scored. Falls back gracefully
   (recall<1) — the standard ANN trade.
@@ -12,12 +13,58 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+_TOPK_SCHEMA = pa.schema([("query_id", pa.int64()),
+                          ("neighbor_id", pa.int64()),
+                          ("rank", pa.int64())])
+
+
+def merge_topk(partials: ray.data.Dataset, k: int,
+               n_buckets: int | None = None) -> pa.Table:
+    """Distributed final top-k over (query_id, neighbor_id, sim) partials:
+    hash-bucket by query_id, then ONE vectorized lexsort + segment mask per
+    bucket picks each query's k best by (sim desc, neighbor_id asc) — no
+    per-query Python call, no driver-side partial collection. At 10^6 blocks
+    the partials stay in the cluster; only k·|queries| result rows are
+    collected. Returns (query_id, neighbor_id, rank) sorted by (query, rank)."""
+    import pyarrow.compute as pc
+
+    from .joins import _bucket_of, buckets_for
+    n_buckets = n_buckets or buckets_for(0)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b", _bucket_of(batch["query_id"],
+                                                     n_buckets))
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _TOPK_SCHEMA.empty_table()
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        s = g["sim"].to_numpy(zero_copy_only=False)
+        n = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s, q))  # query asc, sim desc, id asc
+        qs, ns = q[order], n[order]
+        newq = np.empty(len(qs), dtype=bool)
+        newq[0] = True
+        newq[1:] = qs[1:] != qs[:-1]
+        starts = np.flatnonzero(newq)
+        pos = np.arange(len(qs)) - starts[np.cumsum(newq) - 1]
+        keep = pos < k
+        return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
+                         "neighbor_id": pa.array(ns[keep], pa.int64()),
+                         "rank": pa.array(pos[keep] + 1, pa.int64())})
+
+    merged = (partials.map_batches(tag, batch_format="pyarrow")
+              .groupby("__b").map_groups(merge, batch_format="pyarrow"))
+    blocks = [b for b in ray.get(merged.to_arrow_refs()) if b.num_rows]
+    out = (pa.concat_tables(blocks).combine_chunks() if blocks
+           else _TOPK_SCHEMA.empty_table())
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]))
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -56,25 +103,7 @@ def brute_force_topk(embs: ray.data.Dataset, queries: np.ndarray,
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
-    partials = embs.map_batches(partial, batch_format="pyarrow").take_all()
-
-    best: dict[int, list[tuple[float, int]]] = {q: [] for q in qids}
-    for r in partials:
-        # heap keyed by (sim, -neighbor_id) so ties prefer the smaller id
-        heapq.heappush(best[r["query_id"]], (r["sim"], -r["neighbor_id"]))
-        if len(best[r["query_id"]]) > k:
-            heapq.heappop(best[r["query_id"]])
-
-    out_q, out_n, out_r = [], [], []
-    for q in qids:
-        ranked = sorted(best[q], key=lambda t: (-t[0], -t[1]))
-        for rank, (sim, neg_id) in enumerate(ranked[:k], start=1):
-            out_q.append(q)
-            out_n.append(-neg_id)
-            out_r.append(rank)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    return merge_topk(embs.map_batches(partial, batch_format="pyarrow"), k)
 
 
 def _lsh_probe_sets(queries: np.ndarray, n_planes: int, probe_bits: int,
@@ -159,20 +188,7 @@ def lsh_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
-    partials = embs.map_batches(partial, batch_format="pyarrow").take_all()
-    best: dict[int, list[tuple[float, int]]] = {qid: [] for qid in qids}
-    for r in partials:
-        heapq.heappush(best[r["query_id"]], (r["sim"], -r["neighbor_id"]))
-        if len(best[r["query_id"]]) > k:
-            heapq.heappop(best[r["query_id"]])
-    out_q, out_n, out_r = [], [], []
-    for qid in qids:
-        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
-        for rank, (sim, neg_id) in enumerate(ranked[:k], start=1):
-            out_q.append(qid); out_n.append(-neg_id); out_r.append(rank)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    return merge_topk(embs.map_batches(partial, batch_format="pyarrow"), k)
 
 
 # --------------------------------- IVF ---------------------------------
@@ -229,7 +245,6 @@ def ivf_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
     """IVF approximate top-k: score only vectors whose nearest centroid is among
     each query's `nprobe` closest centroids. Centroids are broadcast; candidate
     scoring is a per-batch matmul combiner like brute_force_topk."""
-    import heapq
     if centroids is None:
         centroids = build_ivf_centroids(embs, n_centroids, vec_col=vec_col)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -256,17 +271,4 @@ def ivf_topk(embs: ray.data.Dataset, queries: np.ndarray, query_ids: list[int],
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
-    partials = embs.map_batches(partial, batch_format="pyarrow").take_all()
-    best: dict[int, list[tuple[float, int]]] = {qid: [] for qid in qids}
-    for r in partials:
-        heapq.heappush(best[r["query_id"]], (r["sim"], -r["neighbor_id"]))
-        if len(best[r["query_id"]]) > k:
-            heapq.heappop(best[r["query_id"]])
-    out_q, out_n, out_r = [], [], []
-    for qid in qids:
-        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
-        for rank, (sim, neg_id) in enumerate(ranked[:k], start=1):
-            out_q.append(qid); out_n.append(-neg_id); out_r.append(rank)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    return merge_topk(embs.map_batches(partial, batch_format="pyarrow"), k)
