@@ -167,19 +167,26 @@ def _linked_triples(docs: ray.data.Dataset, cfg: KGConfig, alias_path: str) -> r
     return docs.map_batches(explode_triples, batch_format="pyarrow")
 
 
-def _cid_array(keys: list[str], roots: list[str | None]) -> pa.Array:
-    """canonical_id(root-or-self) per row, memoized over the batch's distinct
-    keys (few per batch — inputs are distinct-key tables)."""
-    memo: dict[str, str] = {}
-    out = []
-    for k, r in zip(keys, roots):
-        kk = k if r is None else r
-        c = memo.get(kk)
-        if c is None:
-            c = canonical_id(kk)
-            memo[kk] = c
-        out.append(c)
-    return pa.array(out, pa.string())
+def _cid_from_cols(keys, roots=None, root_map: dict | None = None) -> pa.Array:
+    """canonical_id per row from Arrow columns: ``roots`` (nullable join
+    column) or ``root_map`` (broadcast dict) override the key, else the key
+    canonicalizes itself. Per-row work is all Arrow kernels
+    (coalesce/unique/index_in/take); Python — blake2b isn't vectorizable —
+    runs once per DISTINCT key, which the memoized loops this replaces also
+    paid, minus their per-row interpreter dispatch."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if roots is not None:
+        if isinstance(roots, pa.ChunkedArray):
+            roots = roots.combine_chunks()
+        keys = pc.coalesce(roots, keys)
+    u = keys.unique()
+    if root_map is not None:
+        vals = [canonical_id(root_map.get(s, s)) for s in u.to_pylist()]
+    else:
+        vals = [canonical_id(s) for s in u.to_pylist()]
+    return pc.take(pa.array(vals, pa.string()),
+                   pc.index_in(keys, value_set=u))
 
 
 def _join_star_roots(ds: ray.data.Dataset, key_col: str,
@@ -206,12 +213,14 @@ def build_root_map(nodes_pre: ray.data.Dataset) -> dict[str, str] | ray.data.Dat
     from ..ops.cc import resolve_roots_or_stars
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        keys = [k for k in batch["entity_key"].to_pylist()
-                if k.startswith("surf:")]
-        bands, hashes = lsh_band_arrays([k[5:] for k in keys])
+        col = batch["entity_key"].combine_chunks()
+        surf = col.filter(pc.starts_with(col, "surf:"))
+        # "surf:" is ASCII so codeunit slicing == byte slicing here
+        bands, hashes = lsh_band_arrays(
+            pc.utf8_slice_codeunits(surf, 5).to_pylist())
         from ..stages.canonicalize import LSH_BANDS
-        rep = pa.array(np.repeat(np.array(keys, dtype=object), LSH_BANDS),
-                       pa.string())
+        rep = pa.array(np.repeat(surf.to_numpy(zero_copy_only=False),
+                                 LSH_BANDS), pa.string())
         return pa.table({"entity_key": rep,
                          "band": pa.array(bands.ravel(), pa.int32()),
                          "band_hash": pa.array(hashes.ravel(), pa.int64())})
@@ -254,14 +263,12 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
         root_map_ref = ray.put(root_map)
 
     def apply_roots_nodes(batch: pa.Table) -> pa.Table:
-        root_map = ray.get(root_map_ref)
-        cids = [canonical_id(root_map.get(k, k))
-                for k in batch["entity_key"].to_pylist()]
-        return batch.append_column("canonical_id", pa.array(cids, pa.string()))
+        cid = _cid_from_cols(batch["entity_key"],
+                             root_map=ray.get(root_map_ref))
+        return batch.append_column("canonical_id", cid)
 
     def cid_from_join(batch: pa.Table) -> pa.Table:
-        cid = _cid_array(batch["entity_key"].to_pylist(),
-                         batch["__root"].to_pylist())
+        cid = _cid_from_cols(batch["entity_key"], batch["__root"])
         return batch.drop_columns(["__root"]).append_column("canonical_id", cid)
 
     # the sort's range partitioner never splits equal keys across partitions,
@@ -280,13 +287,10 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
     # dict lookup; the group-count itself is a vectorized Arrow kernel.
     def partial_edge_counts(batch: pa.Table) -> pa.Table:
         root_map = ray.get(root_map_ref)
-        sk = batch["subj_key"].to_pylist()
-        ok = batch["obj_key"].to_pylist()
-        memo = {k: canonical_id(root_map.get(k, k)) for k in set(sk) | set(ok)}
         t = pa.table({
-            "subj_id": pa.array([memo[k] for k in sk], pa.string()),
+            "subj_id": _cid_from_cols(batch["subj_key"], root_map=root_map),
             "pred": batch["pred"],
-            "obj_id": pa.array([memo[k] for k in ok], pa.string()),
+            "obj_id": _cid_from_cols(batch["obj_key"], root_map=root_map),
         })
         agg = t.group_by(["subj_id", "pred", "obj_id"]).aggregate([([], "count_all")])
         return agg.rename_columns(["subj_id", "pred", "obj_id", "partial_weight"])
@@ -300,11 +304,9 @@ def build_graph(mentions: ray.data.Dataset, triples: ray.data.Dataset) -> tuple[
 
         def canon_joined(batch: pa.Table) -> pa.Table:
             t = pa.table({
-                "subj_id": _cid_array(batch["subj_key"].to_pylist(),
-                                      batch["__sr"].to_pylist()),
+                "subj_id": _cid_from_cols(batch["subj_key"], batch["__sr"]),
                 "pred": batch["pred"],
-                "obj_id": _cid_array(batch["obj_key"].to_pylist(),
-                                     batch["__or"].to_pylist()),
+                "obj_id": _cid_from_cols(batch["obj_key"], batch["__or"]),
                 "partial_weight": batch["partial_weight"],
             })
             agg = (t.group_by(["subj_id", "pred", "obj_id"])
@@ -446,11 +448,13 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
         so the root map has no dependency on the mentions/nodes chain."""
         keys_arr = pc.struct_field(
             pc.list_flatten(batch["mentions"].combine_chunks()), "entity_key")
-        keys = [k for k in set(keys_arr.to_pylist()) if k.startswith("surf:")]
-        bands, hashes = lsh_band_arrays([k[5:] for k in keys])
+        u = keys_arr.unique()
+        surf = u.filter(pc.starts_with(u, "surf:"))
+        bands, hashes = lsh_band_arrays(
+            pc.utf8_slice_codeunits(surf, 5).to_pylist())
         from ..stages.canonicalize import LSH_BANDS
-        rep = pa.array(np.repeat(np.array(keys, dtype=object), LSH_BANDS),
-                       pa.string())
+        rep = pa.array(np.repeat(surf.to_numpy(zero_copy_only=False),
+                                 LSH_BANDS), pa.string())
         return pa.table({"entity_key": rep,
                          "band": pa.array(bands.ravel(), pa.int32()),
                          "band_hash": pa.array(hashes.ravel(), pa.int64())})
@@ -598,15 +602,12 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
         nodes_pre = f_nodes_pre.result()
 
         def apply_roots_nodes(batch: pa.Table) -> pa.Table:
-            rm = ray.get(root_map_ref)
-            cids = [canonical_id(rm.get(k, k))
-                    for k in batch["entity_key"].to_pylist()]
-            return batch.append_column("canonical_id",
-                                       pa.array(cids, pa.string()))
+            cid = _cid_from_cols(batch["entity_key"],
+                                 root_map=ray.get(root_map_ref))
+            return batch.append_column("canonical_id", cid)
 
         def cid_from_join(batch: pa.Table) -> pa.Table:
-            cid = _cid_array(batch["entity_key"].to_pylist(),
-                             batch["__root"].to_pylist())
+            cid = _cid_from_cols(batch["entity_key"], batch["__root"])
             return (batch.drop_columns(["__root"])
                     .append_column("canonical_id", cid))
 
@@ -638,13 +639,10 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             that merge under canonicalization collapse here); the final exact
             merge happens per sort partition (_merge_edge_block)."""
             rm = ray.get(root_map_ref)
-            sk = batch["subj_key"].to_pylist()
-            ok = batch["obj_key"].to_pylist()
-            memo = {k: canonical_id(rm.get(k, k)) for k in set(sk) | set(ok)}
             t = pa.table({
-                "subj_id": pa.array([memo[k] for k in sk], pa.string()),
+                "subj_id": _cid_from_cols(batch["subj_key"], root_map=rm),
                 "pred": batch["pred"],
-                "obj_id": pa.array([memo[k] for k in ok], pa.string()),
+                "obj_id": _cid_from_cols(batch["obj_key"], root_map=rm),
                 "partial_weight": batch["partial_weight"],
             })
             agg = t.group_by(["subj_id", "pred", "obj_id"]).aggregate(
@@ -664,10 +662,8 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
             """Star-join twin of canonicalize_edge_partials: roots arrive as
             join columns (__sr/__or, null = unclustered) instead of a
             broadcast dict."""
-            subj = _cid_array(batch["subj_key"].to_pylist(),
-                              batch["__sr"].to_pylist())
-            obj = _cid_array(batch["obj_key"].to_pylist(),
-                             batch["__or"].to_pylist())
+            subj = _cid_from_cols(batch["subj_key"], batch["__sr"])
+            obj = _cid_from_cols(batch["obj_key"], batch["__or"])
             t = pa.table({
                 "subj_id": subj,
                 "pred": batch["pred"],
