@@ -41,8 +41,9 @@ def parse_files_batch(batch: pa.Table, path_col: str = "path",
     """(path, bytes) rows → (path, text, status) rows.
 
     status: "succeeded" (plaintext family, text = identity bytes decoded),
-    "skipped" (unsupported extension — counted, not failed; processor.go:321-328),
-    "failed" (pdf stub / oversized)."""
+    "skipped" (unsupported extension or encrypted PDF — counted, not failed;
+    processor.go:321-328), "failed" (unparseable pdf / oversized)."""
+    from .pdf import EncryptedPdfError
     paths = batch[path_col].to_pylist()
     datas = batch[data_col].to_pylist()
     texts: list[str] = []
@@ -65,6 +66,11 @@ def parse_files_batch(batch: pa.Table, path_col: str = "path",
                 try:
                     texts.append(parse_pdf(data))
                     statuses.append("succeeded")
+                except EncryptedPdfError:
+                    # no key handling — counted, not failed, mirroring the
+                    # reference's unsupported-type skip (processor.go:321-328)
+                    texts.append("")
+                    statuses.append("skipped")
                 except Exception:
                     texts.append("")
                     statuses.append("failed")

@@ -10,7 +10,12 @@ Scope — built from the public PDF 1.7 spec (ISO 32000-1):
 - classic cross-reference PDFs whose objects appear as ``N G obj … endobj``
   in the byte stream, plus objects inside /ObjStm object streams
   (FlateDecoded and re-scanned);
-- content streams stored raw or /FlateDecode (zlib);
+- content streams stored raw, /FlateDecode (zlib) or /LZWDecode (spec
+  §7.4.4, EarlyChange=1 — the default; EarlyChange 0 streams are treated
+  as unsupported);
+- encrypted PDFs (/Encrypt in the trailer) raise :class:`EncryptedPdfError`
+  so the dispatcher can route them to the skipped counter, mirroring the
+  reference's unsupported-type skip (processor.go:321-328);
 - text shown via ``Tj``, ``'``, ``"`` and ``TJ`` with literal ``(…)`` (all
   escape forms) and hex ``<…>`` strings, simple byte encodings (Standard /
   WinAnsi — decoded latin-1). CID/Type0 composite fonts need a ToUnicode CMap
@@ -31,6 +36,51 @@ import zlib
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+class EncryptedPdfError(ValueError):
+    """The PDF trailer carries /Encrypt — key handling is out of scope, so the
+    file is reported distinctly for the dispatcher's skipped counter."""
+
+
+def _lzw_decode(raw: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): MSB-first variable-width codes
+    (9→12 bits), 256 = clear-table, 257 = EOD, EarlyChange=1 (the width
+    grows one code early, as every known writer emits)."""
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    width, buf, nbits = 9, 0, 0
+    for byte in raw:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = list(base)
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW: first code after clear not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange=1
+                width += 1
+    return bytes(out)  # missing EOD: tolerate, like zlib's truncated tail
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
@@ -70,13 +120,21 @@ def _stream_bytes(body: bytes) -> bytes | None:
     if m is None:
         return None
     raw = m.group(1)
-    if b"/FlateDecode" in body[:m.start()]:
+    head = body[:m.start()]
+    if b"/FlateDecode" in head:
         try:
             return zlib.decompress(raw)
         except zlib.error:
             return None
-    if b"/Filter" in body[:m.start()]:
-        return None  # unsupported filter (DCT, LZW, ...)
+    if b"/LZWDecode" in head:
+        if re.search(rb"/EarlyChange\s+0", head):
+            return None  # EarlyChange=0 writers are unheard of; stay honest
+        try:
+            return _lzw_decode(raw)
+        except ValueError:
+            return None
+    if b"/Filter" in head:
+        return None  # unsupported filter (DCT, CCITT, JBIG2, ...)
     return raw
 
 
@@ -250,6 +308,10 @@ def extract_pdf_text(data: bytes) -> str:
     ValueError when the bytes are not parseable as a PDF."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
+    # /Encrypt always points at the encryption dict as an indirect reference
+    # from a (possibly incremental-update) trailer; one linear scan finds it
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+        raise EncryptedPdfError("encrypted PDF (no key handling)")
     objs = _parse_objects(data)
     if not objs:
         raise ValueError("no PDF objects found")

@@ -138,3 +138,105 @@ def test_pdf_dispatch_succeeds_and_fails():
     assert got == {"good.pdf": "succeeded", "corrupt.pdf": "failed"}
     texts = dict(zip(out["path"].to_pylist(), out["text"].to_pylist()))
     assert texts["good.pdf"] == "real pdf content"
+
+
+# ------------------------------- LZW / encryption -------------------------------
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Test-side PDF LZW encoder (EarlyChange=1, MSB-first). Width bumps track
+    the DECODER's table growth (which lags the encoder's by one code), so the
+    streams stay bit-synchronized."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    buf = nbits = 0
+    emitted = 0
+
+    def emit(code):
+        nonlocal buf, nbits, emitted, width
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+
+    emit(256)  # clear table
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        emitted += 1
+        table[w + c] = next_code
+        next_code += 1
+        # decoder has 258 + (emitted - 1) entries after reading this code
+        if 258 + (emitted - 1) == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == (1 << 12) - 1:  # table full: clear, like real writers
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width, emitted = 258, 9, 0
+        w = c
+    if w:
+        emit(table[w])
+        emitted += 1
+        if 258 + (emitted - 1) == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(257)  # EOD
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_spec_vector():
+    """ISO 32000-1 §7.4.4.3 example: 45 45 45 45 45 65 45 45 45 66 encodes to
+    80 0B 60 50 22 0C 0C 85 01."""
+    from ner_backend_ray.sources.pdf import _lzw_decode
+    enc = bytes.fromhex("800B6050220C0C8501")
+    assert _lzw_decode(enc) == bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+
+
+def test_lzw_roundtrip_across_width_bumps():
+    from ner_backend_ray.sources.pdf import _lzw_decode
+    import random
+    rng = random.Random(7)
+    # enough distinct bigrams to push the table past the 9->10->11 bit bumps
+    data = bytes(rng.randrange(256) for _ in range(8000))
+    assert _lzw_decode(_lzw_encode(data)) == data
+    assert _lzw_decode(_lzw_encode(b"")) == b""
+    assert _lzw_decode(_lzw_encode(b"aaaaaaaaaaaaaaaa")) == b"a" * 16
+
+
+def test_pdf_extract_lzw_content_stream():
+    from ner_backend_ray.sources.pdf import extract_pdf_text
+    pdf = _make_pdf(["LZW page text"])
+    # recompress object 4's Flate content stream as LZWDecode
+    import re as _re
+    import zlib
+    m = _re.search(rb"4 0 obj\n<< /Length \d+ /Filter /FlateDecode >>\n"
+                   rb"stream\n(.*?)\nendstream", pdf, _re.S)
+    content = zlib.decompress(m.group(1))
+    lzw = _lzw_encode(content)
+    repl = (b"4 0 obj\n<< /Length " + str(len(lzw)).encode()
+            + b" /Filter /LZWDecode >>\nstream\n" + lzw
+            + b"\nendstream\nendobj\n")
+    pdf = _re.sub(rb"4 0 obj\n.*?endobj\n", lambda _: repl, pdf, count=1,
+                  flags=_re.S)
+    assert extract_pdf_text(pdf) == "LZW page text"
+
+
+def test_encrypted_pdf_skipped():
+    from ner_backend_ray.sources.files import parse_files_batch
+    from ner_backend_ray.sources.pdf import EncryptedPdfError, extract_pdf_text
+    pdf = _make_pdf(["secret"])
+    enc = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    import pytest
+    with pytest.raises(EncryptedPdfError):
+        extract_pdf_text(enc)
+    batch = pa.table({"path": ["enc.pdf", "ok.pdf"],
+                      "bytes": [enc, pdf]})
+    got = parse_files_batch(batch).to_pydict()
+    by_path = dict(zip(got["path"], got["status"]))
+    assert by_path == {"enc.pdf": "skipped", "ok.pdf": "succeeded"}
