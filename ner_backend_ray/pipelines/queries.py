@@ -908,6 +908,34 @@ def q_kg_search(sf_dir: str):
     return search_mentions(mentions, "COUNT(NAME) > 2 AND COUNT(EMAIL) > 0")
 
 
+def q_lineage_counts(sf_dir: str):
+    """Checkpointed-runner accounting (SURVEY.md §2 A2/A4): phase 1 runs once
+    for a single partition, then RESUMES for the rest (the resumed run must
+    skip the finished partition — raising if it doesn't), and the
+    per-partition lineage sidecar counters are returned. The oracle recounts
+    the same numbers from the phase-1 parquet outputs themselves, so a sidecar
+    that drifts from what was actually written (or a resume that recomputes
+    and double-writes) hash-mismatches. Partition CONTENT correctness is the
+    kill/resume test (tests/test_pipeline_ray.py); this row makes the
+    accounting driver-visible."""
+    import shutil
+
+    from ..fixtures.pages import pages_fixture_dir
+    from ..pipelines.checkpointed import lineage_metrics, run_phase1
+    fixture_dir = pages_fixture_dir(sf_dir)
+    out = os.path.join(_ORACLE_EXPORT_DIR, "ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    run_phase1(fixture_dir, out, KGConfig(), concurrency=1, max_partitions=1)
+    s = run_phase1(fixture_dir, out, KGConfig())
+    if s["partitions_skipped"] < 1:
+        raise RuntimeError("resume did not skip the completed partition")
+    t = lineage_metrics(out)
+    return t.select(["pid", "rows", "mentions", "groups", "triples",
+                     "token_count"]).rename_columns(
+        ["pid", "n_rows", "n_mentions", "n_groups", "n_triples",
+         "token_count"])
+
+
 # --------------------------------------------------------------------------
 # as-of / range joins, order statistics, heavy hitters (SQL-checked)
 # --------------------------------------------------------------------------
@@ -2303,6 +2331,7 @@ QUERIES = {
     "events_unpivot": q_events_unpivot,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "dates_except": q_dates_except,
+    "lineage_counts": q_lineage_counts,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2328,8 +2357,8 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "contamination_hits": q_contamination_hits,
-    "group_median": q_group_median,
     # ---- tail: long-stable relational queries (green since r2-r3) ----
+    "group_median": q_group_median,
     "dedup_exact": q_dedup_exact,
     "doc_quality": q_doc_quality,
     "quality_filter": q_quality_filter,
@@ -3176,4 +3205,45 @@ ORACLE_SQL = {
         GROUP BY url
         HAVING sum(CASE WHEN label = 'NAME' THEN 1 ELSE 0 END) > 2
            AND sum(CASE WHEN label = 'EMAIL' THEN 1 ELSE 0 END) > 0""",
+    # recounts the engine's checkpointed phase-1 OUTPUT parquet per partition;
+    # a lineage sidecar that disagrees with what was written hash-mismatches
+    "lineage_counts": r"""
+        WITH d AS (
+            SELECT CAST(regexp_extract(filename, 'part-(\d+)', 1) AS BIGINT)
+                       AS pid,
+                   count(*) AS n_rows,
+                   CAST(sum(token_count) AS BIGINT) AS token_count
+            FROM read_parquet('/tmp/ner_ray_oracle/ckpt/docs/part-*.parquet',
+                              filename=true)
+            GROUP BY 1),
+        m AS (
+            SELECT CAST(regexp_extract(filename, 'part-(\d+)', 1) AS BIGINT)
+                       AS pid, count(*) AS n
+            FROM read_parquet(
+                '/tmp/ner_ray_oracle/ckpt/mentions/part-*.parquet',
+                filename=true)
+            GROUP BY 1),
+        g AS (
+            SELECT CAST(regexp_extract(filename, 'part-(\d+)', 1) AS BIGINT)
+                       AS pid, count(*) AS n
+            FROM read_parquet(
+                '/tmp/ner_ray_oracle/ckpt/groups/part-*.parquet',
+                filename=true)
+            GROUP BY 1),
+        t AS (
+            SELECT CAST(regexp_extract(filename, 'part-(\d+)', 1) AS BIGINT)
+                       AS pid, count(*) AS n
+            FROM read_parquet(
+                '/tmp/ner_ray_oracle/ckpt/triples/part-*.parquet',
+                filename=true)
+            GROUP BY 1)
+        SELECT d.pid, d.n_rows,
+               coalesce(m.n, 0) AS n_mentions,
+               coalesce(g.n, 0) AS n_groups,
+               coalesce(t.n, 0) AS n_triples,
+               d.token_count
+        FROM d
+        LEFT JOIN m ON d.pid = m.pid
+        LEFT JOIN g ON d.pid = g.pid
+        LEFT JOIN t ON d.pid = t.pid""",
 }
