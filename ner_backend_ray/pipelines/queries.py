@@ -908,6 +908,17 @@ def q_kg_search(sf_dir: str):
     return search_mentions(mentions, "COUNT(NAME) > 2 AND COUNT(EMAIL) > 0")
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance-1 pair join over distinct customer names
+    (ops/fuzzy.py::edit1_pairs): deletion-neighborhood blocking → exact
+    Levenshtein verify, each pair owned by its smallest shared key. The
+    oracle recomputes the pair set brute-force with DuckDB's levenshtein()
+    over the distinct-name cross join — exact, like the other near-dup
+    oracles (O(N²) SQL side, so driver-scale only)."""
+    from ..ops.fuzzy import edit1_pairs
+    return edit1_pairs(_tbl(sf_dir, "customer", ["c_name"]), "c_name")
+
+
 def q_lineage_counts(sf_dir: str):
     """Checkpointed-runner accounting (SURVEY.md §2 A2/A4): phase 1 runs once
     for a single partition, then RESUMES for the rest (the resumed run must
@@ -2332,6 +2343,7 @@ QUERIES = {
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "dates_except": q_dates_except,
     "lineage_counts": q_lineage_counts,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2354,10 +2366,10 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "sessions": q_sessions,
     "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
     "tfidf_rare_terms": q_tfidf_rare_terms,
     "contamination_hits": q_contamination_hits,
     # ---- tail: long-stable relational queries (green since r2-r3) ----
+    "sliding_window": q_sliding_window,
     "group_median": q_group_median,
     "dedup_exact": q_dedup_exact,
     "doc_quality": q_doc_quality,
@@ -3205,6 +3217,11 @@ ORACLE_SQL = {
         GROUP BY url
         HAVING sum(CASE WHEN label = 'NAME' THEN 1 ELSE 0 END) > 2
            AND sum(CASE WHEN label = 'EMAIL' THEN 1 ELSE 0 END) > 0""",
+    "fuzzy_name_pairs": """
+        WITH d AS (SELECT DISTINCT c_name AS s FROM customer)
+        SELECT a.s AS a, b.s AS b
+        FROM d a, d b
+        WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
     # recounts the engine's checkpointed phase-1 OUTPUT parquet per partition;
     # a lineage sidecar that disagrees with what was written hash-mismatches
     "lineage_counts": r"""

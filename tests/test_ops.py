@@ -580,3 +580,42 @@ def test_range_join_empty_side(ray_session):
         "rid": pa.array([], pa.int64())}))
     assert range_join(left, right, "k", "rk", "ts", "rts", -2, 2,
                       n_buckets=2).count() == 0
+
+
+def test_edit1_pairs_matches_brute_force(ray_session):
+    """Deletion-neighborhood blocking + exact verify == brute-force DP
+    Levenshtein <= 1 over distinct values (duplicates in the input collapse)."""
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+    from ner_backend_ray.ops.fuzzy import edit1_pairs
+
+    def lev(a: str, b: str) -> int:  # independent DP oracle
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(11)
+    vocab = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+             for _ in range(300)]
+    vocab += [w + "x" for w in vocab[:40]]          # insertion neighbors
+    vocab += [w.replace("a", "b", 1) for w in vocab[:40]]  # substitution
+    rows = vocab * 2 + vocab[:50]                   # duplicates in the input
+    rng.shuffle(rows)
+    ds = ray.data.from_arrow(pa.table({"s": pa.array(rows, pa.string())}))
+    ds = ds.repartition(5)
+
+    got = {(r["a"], r["b"])
+           for r in edit1_pairs(ds, "s", n_buckets=8).take_all()}
+    uniq = sorted(set(rows))
+    want = {(a, b) for i, a in enumerate(uniq) for b in uniq[i + 1:]
+            if lev(a, b) <= 1}
+    assert got == want
+    assert all(a < b for a, b in got)
