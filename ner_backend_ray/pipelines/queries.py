@@ -919,6 +919,28 @@ def q_fuzzy_name_pairs(sf_dir: str):
     return edit1_pairs(_tbl(sf_dir, "customer", ["c_name"]), "c_name")
 
 
+def q_interval_overlap_pairs(sf_dir: str):
+    """Global (NO equi-key) interval-overlap self-join over event spans
+    ``[ts, ts + (event_id % 180) s]`` — ops/intervals.py::interval_self_pairs:
+    domain tiling, ≤2 replicas per interval, later-start tile ownership for
+    exactly-once pairs. The oracle is DuckDB's inequality join (IEJoin) over
+    ``epoch_us(ts)`` — exact, O(N²)-ish SQL side, so driver-scale only."""
+    from ..ops.intervals import interval_self_pairs
+
+    def spans(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = (b["ts"].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + (ids % 180) * 1_000_000,
+                                       pa.int64())})
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        spans, batch_format="pyarrow")
+    return interval_self_pairs(ev, "id", "s", "e")
+
+
 def q_lineage_counts(sf_dir: str):
     """Checkpointed-runner accounting (SURVEY.md §2 A2/A4): phase 1 runs once
     for a single partition, then RESUMES for the rest (the resumed run must
@@ -2344,6 +2366,7 @@ QUERIES = {
     "dates_except": q_dates_except,
     "lineage_counts": q_lineage_counts,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "interval_overlap_pairs": q_interval_overlap_pairs,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2367,8 +2390,8 @@ QUERIES = {
     "sessions": q_sessions,
     "tumbling_window": q_tumbling_window,
     "tfidf_rare_terms": q_tfidf_rare_terms,
+    # ---- tail: long-stable / r4★-verified queries ----
     "contamination_hits": q_contamination_hits,
-    # ---- tail: long-stable relational queries (green since r2-r3) ----
     "sliding_window": q_sliding_window,
     "group_median": q_group_median,
     "dedup_exact": q_dedup_exact,
@@ -3222,6 +3245,18 @@ ORACLE_SQL = {
         SELECT a.s AS a, b.s AS b
         FROM d a, d b
         WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
+    # closed-interval overlap with (start, id) lexicographic pair ordering;
+    # a.s <= b.s makes "b.s <= a.e" the whole overlap predicate
+    "interval_overlap_pairs": """
+        WITH iv AS (
+            SELECT event_id,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts) + (event_id % 180) * 1000000 AS e
+            FROM events)
+        SELECT a.event_id AS a_id, b.event_id AS b_id
+        FROM iv a, iv b
+        WHERE (a.s < b.s OR (a.s = b.s AND a.event_id < b.event_id))
+          AND b.s <= a.e""",
     # recounts the engine's checkpointed phase-1 OUTPUT parquet per partition;
     # a lineage sidecar that disagrees with what was written hash-mismatches
     "lineage_counts": r"""

@@ -619,3 +619,54 @@ def test_edit1_pairs_matches_brute_force(ray_session):
             if lev(a, b) <= 1}
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_interval_self_pairs_matches_brute_force(ray_session):
+    """Tiled overlap join == brute-force over all pairs, with small tiles
+    forcing multi-tile replication + ownership dedup, equal starts, and
+    zero-length / inverted (dropped) intervals."""
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+    from ner_backend_ray.ops.intervals import interval_self_pairs
+
+    rng = random.Random(23)
+    ids, ss, ee = [], [], []
+    for i in range(400):
+        s = rng.randrange(0, 3000)
+        ln = rng.choice([0, 1, 3, 7, 40, 200])  # incl. zero-length + long
+        ids.append(i)
+        ss.append(s)
+        ee.append(s + ln)
+    ss[7] = ss[8] = 100; ee[7] = 105; ee[8] = 101        # equal starts
+    ids.append(400); ss.append(50); ee.append(40)        # inverted: dropped
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()), "s": pa.array(ss, pa.int64()),
+        "e": pa.array(ee, pa.int64())})).repartition(6)
+
+    want = set()
+    rows = [(i, s, e) for i, s, e in zip(ids, ss, ee) if e >= s]
+    for x in range(len(rows)):
+        for y in range(len(rows)):
+            (ia, sa, ea), (ib, sb, eb) = rows[x], rows[y]
+            if (sa, ia) < (sb, ib) and sb <= ea and sa <= eb:
+                want.add((ia, ib))
+
+    for width in (None, 16):  # default (>= max len) and forced tiny tiles
+        got = {(r["a_id"], r["b_id"]) for r in
+               interval_self_pairs(ds, "id", "s", "e", tile_width=width,
+                                   n_buckets=4).take_all()}
+        assert got == want
+
+
+def test_interval_self_pairs_empty(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from ner_backend_ray.ops.intervals import interval_self_pairs
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+        "e": pa.array([], pa.int64())}))
+    assert interval_self_pairs(ds, "id", "s", "e").count() == 0
