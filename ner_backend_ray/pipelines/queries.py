@@ -2015,6 +2015,39 @@ def q_funnel(sf_dir: str):
                          max_gap=7 * 86_400_000_000)
 
 
+def q_funnel_anyorder(sf_dir: str):
+    """ANY-order funnel (ops/funnel.py::anyorder_funnel): users with a
+    3-day window containing ≥1 view, click AND purchase in any order —
+    the set-coverage twin of q_funnel's strict-order semantics. The 3-day
+    window keeps completion non-degenerate on this event set. The check is
+    stages × one-searchsorted per bucket; the oracle anchors the same
+    windows at every event via per-stage EXISTS subqueries."""
+    from ..ops.funnel import anyorder_funnel
+
+    ds = _tbl(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return anyorder_funnel(ds, stages=["view", "click", "purchase"],
+                           window=3 * 86_400_000_000)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention triangle (ops/funnel.py::retention_cohorts):
+    cohort = week (ts // 7d) of the user's first event; one row per
+    (cohort, week offset) counting users from that cohort active that week.
+    One user-bucket shuffle resolves cohort assignment + per-week distinct
+    presence bucket-locally (first-event boundary mask + one np.unique over
+    fused (user, week) int64 keys); only (cohort, offset, n) partials
+    shuffle again."""
+    from ..ops.funnel import retention_cohorts
+
+    ds = _tbl(sf_dir, "events", ["user_id", "ts"])
+    out = retention_cohorts(ds, period=7 * 86_400_000_000)
+    return out.map_batches(
+        lambda t: pa.table({"cohort": t["cohort"],
+                            "week_offset": t["offset"],
+                            "n_users": t["n_users"]}),
+        batch_format="pyarrow")
+
+
 def q_range_window(sf_dir: str):
     """RANGE-frame window function (ops/window.py::partitioned_range_sum):
     per user, the sum of event value cents over the trailing hour — the
@@ -2367,6 +2400,8 @@ QUERIES = {
     "lineage_counts": q_lineage_counts,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "interval_overlap_pairs": q_interval_overlap_pairs,
+    "funnel_anyorder": q_funnel_anyorder,
+    "retention_cohorts": q_retention_cohorts,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2696,6 +2731,34 @@ ORACLE_SQL = {
         SELECT 'click', CAST(count(*) AS BIGINT) FROM s2
         UNION ALL
         SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3""",
+    # any-order set coverage: a window may anchor at ANY of the user's
+    # events (the optimal anchor is one of them), inclusive bounds
+    "funnel_anyorder": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                   FROM events)
+        SELECT CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_completed,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                FROM events) AS n_users
+        FROM e a
+        WHERE EXISTS (SELECT 1 FROM e s WHERE s.user_id = a.user_id
+                      AND s.event_type = 'view'
+                      AND s.t >= a.t AND s.t <= a.t + 259200000000)
+          AND EXISTS (SELECT 1 FROM e s WHERE s.user_id = a.user_id
+                      AND s.event_type = 'click'
+                      AND s.t >= a.t AND s.t <= a.t + 259200000000)
+          AND EXISTS (SELECT 1 FROM e s WHERE s.user_id = a.user_id
+                      AND s.event_type = 'purchase'
+                      AND s.t >= a.t AND s.t <= a.t + 259200000000)""",
+    # weekly cohort triangle; // on non-negative BIGINT is exact floor
+    "retention_cohorts": """
+        WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS per
+                   FROM events),
+        f AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY 1),
+        d AS (SELECT DISTINCT p.user_id, f.cohort,
+                     p.per - f.cohort AS week_offset
+              FROM p JOIN f ON p.user_id = f.user_id)
+        SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        FROM d GROUP BY 1, 2""",
     "cc_parts": """
         WITH RECURSIVE li AS (
             SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -670,3 +670,72 @@ def test_interval_self_pairs_empty(ray_session):
         "id": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
         "e": pa.array([], pa.int64())}))
     assert interval_self_pairs(ds, "id", "s", "e").count() == 0
+
+
+def test_anyorder_funnel_matches_brute_force(ray_session):
+    """Set-coverage funnel == brute-force any-window check, including users
+    missing a stage, exact window-boundary hits, and out-of-order stages."""
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+    from ner_backend_ray.ops.funnel import anyorder_funnel
+
+    rng = random.Random(31)
+    stages = ["a", "b", "c"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randrange(1, 9)):
+            rows.append((u, rng.randrange(0, 1000),
+                         rng.choice(stages + ["x"])))
+    rows.append((100, 10, "c"))   # out of order but within window
+    rows.append((100, 11, "a"))
+    rows.append((100, 12, "b"))
+    rows.append((101, 0, "a"))    # exact boundary: b at t+W inclusive
+    rows.append((101, 50, "b"))
+    rows.append((101, 25, "c"))
+    W = 50
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows])})).repartition(5)
+
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, t, s in rows:
+        by_user.setdefault(u, []).append((t, s))
+    done = 0
+    for u, evs in by_user.items():
+        ok = any(all(any(t <= t2 <= t + W for t2, s2 in evs if s2 == s)
+                     for s in stages) for t, _ in evs)
+        done += ok
+    got = anyorder_funnel(ds, stages, window=W, n_buckets=4).take_all()
+    assert got == [{"n_completed": done, "n_users": len(by_user)}]
+
+
+def test_retention_cohorts_matches_brute_force(ray_session):
+    import random
+    from collections import defaultdict
+
+    import pyarrow as pa
+
+    import ray.data
+    from ner_backend_ray.ops.funnel import retention_cohorts
+
+    rng = random.Random(7)
+    P = 100
+    rows = [(u, rng.randrange(0, 2500))
+            for u in range(80) for _ in range(rng.randrange(1, 7))]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64())})).repartition(5)
+
+    first: dict[int, int] = {}
+    for u, t in rows:
+        first[u] = min(first.get(u, 1 << 60), t // P)
+    want: dict[tuple[int, int], set] = defaultdict(set)
+    for u, t in rows:
+        want[(first[u], t // P - first[u])].add(u)
+    got = {(r["cohort"], r["offset"]): r["n_users"]
+           for r in retention_cohorts(ds, period=P).take_all()}
+    assert got == {k: len(v) for k, v in want.items()}
