@@ -158,10 +158,14 @@ def anyorder_funnel(events: ray.data.Dataset, stages: list[str],
         return pa.table({"pc_": pa.array([done], pa.int64()),
                          "pu": pa.array([n_users], pa.int64())})
 
-    return (events.map_batches(tag, batch_format="pyarrow")
-            .groupby("__b").map_groups(bucket_cover, batch_format="pyarrow")
-            .aggregate(Sum("pc_", alias_name="n_completed"),
-                       Sum("pu", alias_name="n_users")))
+    row = (events.map_batches(tag, batch_format="pyarrow")
+           .groupby("__b").map_groups(bucket_cover, batch_format="pyarrow")
+           .aggregate(Sum("pc_", alias_name="n_completed"),
+                      Sum("pu", alias_name="n_users")))
+    # Dataset.aggregate returns one driver-side row (a dict); re-wrap typed
+    return ray.data.from_arrow(pa.table({
+        "n_completed": pa.array([int(row["n_completed"] or 0)], pa.int64()),
+        "n_users": pa.array([int(row["n_users"] or 0)], pa.int64())}))
 
 
 def retention_cohorts(events: ray.data.Dataset, period: int,

@@ -467,24 +467,31 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
         serializing the two chains)."""
         return partial_node_counts(explode_mentions(batch))
 
-    # The independent consumers of docs are small executions that don't saturate
-    # the cluster individually — overlap them (driver threads). The tag stage
-    # itself is NOT overlapped with anything: it saturates the CPUs and
-    # concurrent executions only contend (measured). Only THREE executions scan
-    # the materialized docs (mentions, triples, and the combined-partials
-    # union); everything else consumes the small compacted partials.
+    # The independent consumers of docs are overlapped via driver threads, in
+    # TWO lanes. The tag stage itself is NOT overlapped with anything: it
+    # saturates the CPUs and concurrent executions only contend (measured).
+    # Only THREE executions scan the materialized docs (mentions, triples, and
+    # the combined-partials union), and each materializes a multi-GB output;
+    # running those concurrently on a WIDE pool saturates memory bandwidth
+    # (measured at 32 CPUs sf0.8: mentions solo 2.4 s vs 7.7 s alongside
+    # triples; graph phase 13.6 s overlapped vs 10.9 s serialized), while on
+    # a narrow pool one scan can't fill the cluster and overlap wins
+    # (measured 6.0 s at 8 CPUs). So the big scans get a width-gated lane:
+    # serialized — parts FIRST, the root map and both graph artifacts depend
+    # on it — once a single scan can saturate the cluster; fully overlapped
+    # below that. Small chains (everything consuming the compacted partials)
+    # always overlap. GRAFT_GRAPH_BIG_LANE=serial|overlap overrides the gate.
     # Dependency chains (mentions/triples serve only the returned tables and
     # are OFF the nodes/edges critical path):
-    #   docs → {mentions, triples, parts}
+    #   docs → {parts, mentions, triples}
     #   parts → {groups, root_map, nodes_pre, edges_raw}
     #   nodes_pre + root_map → nodes;   edges_raw + root_map → edges
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        f_mentions = ex.submit(_timed(
-            "mentions",
-            lambda: _linked_mentions(docs, cfg, alias_path).materialize()))
-        f_triples = ex.submit(_timed(
-            "triples",
-            lambda: _linked_triples(docs, cfg, alias_path).materialize()))
+    serialize_big = _cluster_cpus() >= 16
+    env_lane = os.environ.get("GRAFT_GRAPH_BIG_LANE", "")
+    if env_lane in ("serial", "overlap"):
+        serialize_big = env_lane == "serial"
+    with ThreadPoolExecutor(max_workers=8) as ex, \
+         ThreadPoolExecutor(max_workers=1 if serialize_big else 8) as big:
         def partial_edge_counts_raw(batch: pa.Table) -> pa.Table:
             """Fused explode+combiner over RAW entity keys — needs no broadcast
             state, so the big edge aggregation starts at phase start instead of
@@ -547,11 +554,17 @@ def kg_tables(docs: ray.data.Dataset, cfg: KGConfig, fixture_dir: str,
                 outs.append(pa.table(cols))
             return pa.concat_tables(outs)
 
-        f_parts = ex.submit(
+        f_parts = big.submit(
             lambda: (docs
                      .map_batches(combined_partials, batch_format="pyarrow")
                      .repartition(_compact_small())
                      .materialize()))
+        f_mentions = big.submit(_timed(
+            "mentions",
+            lambda: _linked_mentions(docs, cfg, alias_path).materialize()))
+        f_triples = big.submit(_timed(
+            "triples",
+            lambda: _linked_triples(docs, cfg, alias_path).materialize()))
 
         def _of_kind(parts, kind: int, cols: list[str]):
             return parts.map_batches(
