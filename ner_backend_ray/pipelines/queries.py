@@ -941,6 +941,41 @@ def q_interval_overlap_pairs(sf_dir: str):
     return interval_self_pairs(ev, "id", "s", "e")
 
 
+def q_url_canonical_counts(sf_dir: str):
+    """Web-crawl URL canonicalization (ops/urlnorm.py): deterministic URL
+    spellings derived from documents (case-varied scheme/host, default
+    ports, www., tracking params, fragments, trailing slashes) collapse to
+    canonical page identities, counted per identity. The oracle mirrors the
+    construction AND every normalization regex verbatim in DuckDB — both
+    engines compile RE2, so the patterns behave identically."""
+    from ..ops.urlnorm import canonical_url_counts
+
+    def mk(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].cast(pa.int64())
+        d = did.to_numpy(zero_copy_only=False)
+        s = pa.array(d.astype("U"))            # doc_id as string
+        mod = lambda k: pa.array((d % k).astype("U"))
+        j = pc.binary_join_element_wise
+        even = pa.array(d % 2 == 0)
+        url = j(
+            pc.if_else(even, pa.scalar("HTTPS"), pa.scalar("http")),
+            "://WWW.", b["source"].cast(pa.string()), ".Example.COM",
+            pc.if_else(even, pa.scalar(":443"), pa.scalar(":80")),
+            "/Docs/", mod(50),
+            pc.if_else(pa.array(d % 4 == 0), pa.scalar("/"), pa.scalar("")),
+            pc.if_else(pa.array(d % 3 == 0),
+                       j(pa.scalar("?utm_campaign=x&gclid="), s, ""),
+                       j(pa.scalar("?page="), mod(5), "")),
+            pc.if_else(pa.array(d % 5 == 0), pa.scalar("#Sec"),
+                       pa.scalar("")),
+            "")
+        return pa.table({"url": url})
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        mk, batch_format="pyarrow")
+    return canonical_url_counts(ds, "url")
+
+
 def q_lineage_counts(sf_dir: str):
     """Checkpointed-runner accounting (SURVEY.md §2 A2/A4): phase 1 runs once
     for a single partition, then RESUMES for the rest (the resumed run must
@@ -2402,6 +2437,7 @@ QUERIES = {
     "interval_overlap_pairs": q_interval_overlap_pairs,
     "funnel_anyorder": q_funnel_anyorder,
     "retention_cohorts": q_retention_cohorts,
+    "url_canonical_counts": q_url_canonical_counts,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2749,6 +2785,48 @@ ORACLE_SQL = {
           AND EXISTS (SELECT 1 FROM e s WHERE s.user_id = a.user_id
                       AND s.event_type = 'purchase'
                       AND s.t >= a.t AND s.t <= a.t + 259200000000)""",
+    # URL construction AND normalization mirrored verbatim (RE2 both sides);
+    # regexp_replace 'g' only where the engine replaces all occurrences
+    "url_canonical_counts": r"""
+        WITH u AS (
+            SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS'
+                         ELSE 'http' END)
+                   || '://WWW.' || source || '.Example.COM'
+                   || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                   || '/Docs/' || (doc_id % 50)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN '?utm_campaign=x&gclid=' || doc_id
+                            ELSE '?page=' || (doc_id % 5) END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END)
+                   AS url
+            FROM documents),
+        p AS (
+            SELECT lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host,
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1) AS rest
+            FROM u),
+        n AS (
+            SELECT scheme,
+                   CASE WHEN scheme = 'http' THEN
+                            regexp_replace(h2, ':80$', '')
+                        WHEN scheme = 'https' THEN
+                            regexp_replace(h2, ':443$', '')
+                        ELSE h2 END AS host,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(rest, '#.*$', ''),
+                       '(utm_[^&=#]*|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                       '[?&]$', ''), '/$', '') AS rest
+            FROM (SELECT scheme, rest,
+                         CASE WHEN host LIKE 'www.%' THEN host[5:]
+                              ELSE host END AS h2
+                  FROM p))
+        SELECT scheme || '://' || host || rest AS canonical_url,
+               CAST(count(*) AS BIGINT) AS n
+        FROM n GROUP BY 1""",
     # weekly cohort triangle; // on non-negative BIGINT is exact floor
     "retention_cohorts": """
         WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS per

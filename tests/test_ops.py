@@ -739,3 +739,28 @@ def test_retention_cohorts_matches_brute_force(ray_session):
     got = {(r["cohort"], r["offset"]): r["n_users"]
            for r in retention_cohorts(ds, period=P).take_all()}
     assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_canonicalize_url_column_vectors():
+    """Handcrafted spellings → canonical identities, incl. the corners:
+    consecutive tracking params, tracking-only query, non-default scheme
+    keeps its port, non-URLs pass through."""
+    import pyarrow as pa
+
+    from ner_backend_ray.ops.urlnorm import canonicalize_url_column
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b/?utm_s=1&gclid=2#frag",
+         "https://ex.com/A/b"),
+        ("http://ex.com:80/x?utm_a=1&utm_b=2&c=3", "http://ex.com/x?c=3"),
+        ("http://ex.com/x?a=1&utm_z=9", "http://ex.com/x?a=1"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        ("ftp://WWW.Ex.com:443/f/", "ftp://ex.com:443/f"),
+        ("http://www.ex.com", "http://ex.com"),
+        ("http://ex.com/", "http://ex.com"),
+        ("not a url", "not a url"),
+        ("https://ex.com/p?page=2", "https://ex.com/p?page=2"),
+    ]
+    got = canonicalize_url_column(
+        pa.array([c[0] for c in cases])).to_pylist()
+    assert got == [c[1] for c in cases]
