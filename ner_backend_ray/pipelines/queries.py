@@ -976,6 +976,49 @@ def q_url_canonical_counts(sf_dir: str):
     return canonical_url_counts(ds, "url")
 
 
+def q_group_mad(sf_dir: str):
+    """Exact per-group median absolute deviation — the robust-statistics
+    twin of group_median, and a demonstration that MULTI-PASS robust stats
+    need only ONE shuffle: MAD is derivable from the same distinct
+    (group, value, count) rows as the median (deviation counts are a
+    re-weighting of the value counts), so both picks happen inside one
+    group call — no second scan, no broadcast join. Oracle: nested
+    quantile_disc via a median join (DuckDB's mad() interpolates on even
+    counts; the discrete form is engine-neutral)."""
+    ds = _tbl(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch["l_returnflag"],
+                      "v": _cents(batch["l_extendedprice"])})
+        agg = t.group_by(["g", "v"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["g", "v", "pn"])
+
+    counts = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby(["g", "v"]).aggregate(Sum("pn", alias_name="n")))
+
+    def pick(gr: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(gr, sort_keys=[("v", "ascending")])
+        t = gr.take(idx)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        c = np.cumsum(n)
+        ntot = int(c[-1])
+        rank = (ntot + 1) // 2                 # quantile_disc(0.5) pick
+        med = int(v[np.searchsorted(c, rank, side="left")])
+        dev = np.abs(v - med)                  # same weights, new values
+        order = np.argsort(dev, kind="stable")
+        dc = np.cumsum(n[order])
+        mad = int(dev[order][np.searchsorted(dc, rank, side="left")])
+        return pa.table({
+            "g": t["g"].slice(0, 1),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad], pa.int64()),
+            "n_rows": pa.array([ntot], pa.int64())})
+
+    # 3 return flags — per-key map_groups is fine at this cardinality
+    return counts.groupby("g").map_groups(pick, batch_format="pyarrow")
+
+
 def q_lineage_counts(sf_dir: str):
     """Checkpointed-runner accounting (SURVEY.md §2 A2/A4): phase 1 runs once
     for a single partition, then RESUMES for the rest (the resumed run must
@@ -2438,6 +2481,7 @@ QUERIES = {
     "funnel_anyorder": q_funnel_anyorder,
     "retention_cohorts": q_retention_cohorts,
     "url_canonical_counts": q_url_canonical_counts,
+    "group_mad": q_group_mad,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2913,6 +2957,22 @@ ORACLE_SQL = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
         FROM seeds s CROSS JOIN documents d
         GROUP BY 1""",
+    # discrete MAD: both picks are quantile_disc (sorted[ceil(n/2)-1]);
+    # the join carries each group's median to the deviation aggregate
+    "group_mad": """
+        WITH t AS (
+            SELECT l_returnflag AS g,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+            FROM lineitem),
+        m AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+              FROM t GROUP BY g)
+        SELECT t.g,
+               m.med AS median_cents,
+               CAST(quantile_disc(abs(t.v - m.med), 0.5) AS BIGINT)
+                   AS mad_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM t JOIN m ON t.g = m.g
+        GROUP BY t.g, m.med""",
     "group_median": """
         SELECT o_orderpriority AS g,
                CAST(quantile_disc(
