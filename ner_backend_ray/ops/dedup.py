@@ -794,3 +794,70 @@ def embedding_clusters(embs: ray.data.Dataset, id_col: str = "vec_id",
              .groupby(["table", "bucket"])
              .map_groups(star_edges, batch_format="pyarrow"))
     return resolve_roots_budgeted(pairs, "a", "b", budget=cc_budget)
+
+
+def cross_doc_dup_grams(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", gram_len: int = 20,
+                        n_buckets: int | None = None) -> ray.data.Dataset:
+    """(doc, n_dup_grams) — per document, how many DISTINCT length-``gram_len``
+    codepoint substrings it shares with at least one OTHER document. The
+    fixed-length primitive of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a doc with
+    n_dup_grams ≫ 0 carries memorization-prone boilerplate; masking/removal
+    policies consume exactly this signal. (The reference dedups whole values,
+    not substrings — no analog; suffix automata are the 100-TB path, this is
+    the shuffle-native one.)
+
+    Plan: gram extraction is an OFFSET SWEEP — for each start offset one
+    vectorized ``utf8_slice_codeunits`` over the whole batch column
+    (codepoint-indexed, SQL-substr parity), so per-batch work is
+    O(max_len) Arrow kernel calls, no per-row Python. Batch-distinct
+    (gram, doc) pairs hash-bucket by gram — every copy of a gram lands in
+    one bucket, so cross-doc counting, the ≥2-docs filter and the per-doc
+    tally are all bucket-local; only (doc, partial) rows shuffle again.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import _bucket_of, buckets_for
+    n_buckets = n_buckets or buckets_for(0)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc": pa.array([], pa.int64()),
+                          "__b": pa.array([], pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        txt = batch[text_col].cast(pa.string())
+        ids = batch[id_col].cast(pa.int64())
+        max_len = int(pc.max(pc.utf8_length(txt)).as_py() or 0)
+        gs, ds_ = [], []
+        for off in range(0, max(0, max_len - gram_len + 1)):
+            g = pc.utf8_slice_codeunits(txt, off, off + gram_len)
+            keep = pc.equal(pc.utf8_length(g), gram_len)
+            gs.append(g.filter(keep))
+            ds_.append(ids.filter(keep))
+        if not gs:
+            return empty
+        t = pa.table({"gram": pa.concat_arrays([a.combine_chunks()
+                                                if isinstance(a, pa.ChunkedArray)
+                                                else a for a in gs]),
+                      "doc": pa.concat_arrays([a.combine_chunks()
+                                               if isinstance(a, pa.ChunkedArray)
+                                               else a for a in ds_])})
+        t = t.group_by(["gram", "doc"]).aggregate([])  # batch-distinct
+        return t.append_column("__b", _bucket_of(t["gram"], n_buckets))
+
+    def bucket_tally(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        t = g.select(["gram", "doc"]).group_by(
+            ["gram", "doc"]).aggregate([])          # cross-batch distinct
+        vc = t.group_by("gram").aggregate([("doc", "count")])
+        dup = vc.filter(pc.greater_equal(vc["doc_count"], 2))["gram"]
+        keep = t.filter(pc.is_in(t["gram"], value_set=dup))
+        out = keep.group_by("doc").aggregate([([], "count_all")])
+        return out.rename_columns(["doc", "pn"])
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_tally, batch_format="pyarrow")
+            .groupby("doc").aggregate(Sum("pn", alias_name="n_dup_grams")))

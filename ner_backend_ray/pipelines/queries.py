@@ -976,6 +976,18 @@ def q_url_canonical_counts(sf_dir: str):
     return canonical_url_counts(ds, "url")
 
 
+def q_dup_gram_docs(sf_dir: str):
+    """Cross-document duplicated-substring signal (ops/dedup.py::
+    cross_doc_dup_grams — the fixed-length primitive of Lee et al. exact
+    substring dedup): per doc, how many distinct 20-codepoint substrings
+    also occur in another document. The oracle regenerates every gram with
+    a lateral range/substr sweep and recounts in SQL."""
+    from ..ops.dedup import cross_doc_dup_grams
+
+    ds = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    return cross_doc_dup_grams(ds, "text", "doc_id", gram_len=20)
+
+
 def q_group_mad(sf_dir: str):
     """Exact per-group median absolute deviation — the robust-statistics
     twin of group_median, and a demonstration that MULTI-PASS robust stats
@@ -2482,6 +2494,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "url_canonical_counts": q_url_canonical_counts,
     "group_mad": q_group_mad,
+    "dup_gram_docs": q_dup_gram_docs,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2957,6 +2970,20 @@ ORACLE_SQL = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
         FROM seeds s CROSS JOIN documents d
         GROUP BY 1""",
+    # every length-20 gram via a lateral offset sweep; dup = in ≥2 docs;
+    # substr is 1-based and codepoint-indexed, matching the engine's
+    # utf8_slice_codeunits
+    "dup_gram_docs": """
+        WITH pos AS (SELECT i FROM range(1, 4096) t(i)),
+        g AS (
+            SELECT DISTINCT doc_id AS doc, substr(text, i, 20) AS gram
+            FROM documents CROSS JOIN pos
+            WHERE i <= length(text) - 19),
+        dup AS (SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc) >= 2)
+        SELECT g.doc, CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM g JOIN dup USING (gram)
+        GROUP BY g.doc""",
     # discrete MAD: both picks are quantile_disc (sorted[ceil(n/2)-1]);
     # the join carries each group's median to the deviation aggregate
     "group_mad": """

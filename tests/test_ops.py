@@ -764,3 +764,38 @@ def test_canonicalize_url_column_vectors():
     got = canonicalize_url_column(
         pa.array([c[0] for c in cases])).to_pylist()
     assert got == [c[1] for c in cases]
+
+
+def test_cross_doc_dup_grams_matches_brute_force(ray_session):
+    """Offset-sweep + bucketed tally == brute-force distinct-gram sets,
+    incl. docs shorter than the gram, within-doc repeats (count once), and
+    grams duplicated across >2 docs."""
+    import pyarrow as pa
+
+    import ray.data
+    from ner_backend_ray.ops.dedup import cross_doc_dup_grams
+
+    L = 5
+    texts = {
+        0: "abcdefghij",          # shares 'bcdef'.. with 1
+        1: "xbcdefgzzzbcdef",     # 'bcdef' twice within doc -> counts once
+        2: "zzzzzzzz",            # run: its grams all equal, shared w/ 3
+        3: "qqzzzzzq",
+        4: "tiny",                # shorter than L -> no grams
+        5: "unique content here",
+    }
+    want = {}
+    grams = {d: {t[i:i + L] for i in range(len(t) - L + 1)}
+             for d, t in texts.items()}
+    for d, gs in grams.items():
+        n = sum(1 for g in gs
+                if any(g in grams[o] for o in grams if o != d))
+        if n:
+            want[d] = n
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()))})).repartition(3)
+    got = {r["doc"]: r["n_dup_grams"] for r in
+           cross_doc_dup_grams(ds, "text", "doc_id", gram_len=L,
+                               n_buckets=4).take_all()}
+    assert got == want
