@@ -260,3 +260,64 @@ def partitioned_running(events: ray.data.Dataset, key_col: str,
     return (events.map_batches(tag, batch_format="pyarrow")
             .groupby("__b").map_groups(analyze_bucket,
                                        batch_format="pyarrow"))
+
+
+def trailing_active_counts(events: ray.data.Dataset,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           period: int = 86_400_000_000,
+                           window: int = 7,
+                           n_buckets: int | None = None) -> ray.data.Dataset:
+    """(day, n_active) — distinct keys active in the trailing ``window``
+    periods ``[day - window + 1, day]``, for every period present in the
+    data: the DAU/WAU/MAU rollup. Sliding COUNT(DISTINCT) has no
+    distributive partial, so the plan EXPLODES each distinct (period, key)
+    activity fact to the ``window`` period-ends it supports (np.repeat, ≤7×
+    on scalar rows) and re-distincts per key-hash bucket — one fused-int
+    np.unique per bucket, only (day, partial) rows shuffle again. The
+    present-days filter is a driver broadcast bounded by the calendar
+    (≤ a few thousand rows at any horizon), not by the data.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+    from .joins import _bucket_of, buckets_for
+    n_buckets = n_buckets or buckets_for(0)
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(batch[ts_col].cast(pa.int64()),
+                             pa.scalar(period, pa.int64())),
+            "k": batch[key_col].cast(pa.int64())})
+        return t.group_by(["day", "k"]).aggregate([])  # batch-distinct
+
+    facts = events.map_batches(day_pairs, batch_format="pyarrow")
+
+    # present periods: one tiny table (bounded by the calendar)
+    days_present = sorted({r["day"] for r in
+                           facts.groupby("day").count().select_columns(
+                               ["day"]).take_all()})
+    days_arr = np.asarray(days_present, np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        d = np.repeat(d, window) + np.tile(np.arange(window, dtype=np.int64),
+                                           len(k))
+        k = np.repeat(k, window)
+        keep = np.isin(d, days_arr)          # only windows anchored at data
+        t = pa.table({"day": pa.array(d[keep], pa.int64()),
+                      "k": pa.array(k[keep], pa.int64())})
+        return t.append_column("__b", _bucket_of(t["k"], n_buckets))
+
+    def bucket_distinct_counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        t = g.select(["day", "k"]).group_by(["day", "k"]).aggregate([])
+        vc = t.group_by("day").aggregate([([], "count_all")])
+        return vc.rename_columns(["day", "pn"])
+
+    return (facts.map_batches(explode, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_distinct_counts,
+                                       batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("pn", alias_name="n_active")))

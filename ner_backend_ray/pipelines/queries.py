@@ -988,6 +988,19 @@ def q_dup_gram_docs(sf_dir: str):
     return cross_doc_dup_grams(ds, "text", "doc_id", gram_len=20)
 
 
+def q_weekly_active_users(sf_dir: str):
+    """Trailing 7-day distinct active users per day (ops/window.py::
+    trailing_active_counts) — the WAU rollup. Sliding COUNT(DISTINCT) has
+    no distributive partial, so each (day, user) activity fact explodes to
+    the ≤7 window-ends it supports and re-distincts inside user-hash
+    buckets; the oracle materializes the window join directly."""
+    from ..ops.window import trailing_active_counts
+
+    ds = _tbl(sf_dir, "events", ["user_id", "ts"])
+    return trailing_active_counts(ds, "user_id", "ts",
+                                  period=86_400_000_000, window=7)
+
+
 def q_group_mad(sf_dir: str):
     """Exact per-group median absolute deviation — the robust-statistics
     twin of group_median, and a demonstration that MULTI-PASS robust stats
@@ -2495,6 +2508,7 @@ QUERIES = {
     "url_canonical_counts": q_url_canonical_counts,
     "group_mad": q_group_mad,
     "dup_gram_docs": q_dup_gram_docs,
+    "weekly_active_users": q_weekly_active_users,
     # -- oracle-dtype fixes landed in r5; need a fresh green row --
     "bloom_semi_urgent": q_bloom_semi_urgent,
     "price_histogram": q_price_histogram,
@@ -2970,6 +2984,16 @@ ORACLE_SQL = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
         FROM seeds s CROSS JOIN documents d
         GROUP BY 1""",
+    # trailing 7-day distinct actives; window ends anchored at present days
+    "weekly_active_users": """
+        WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                                   user_id
+                   FROM events),
+        days AS (SELECT DISTINCT day FROM d)
+        SELECT days.day,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+        FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+        GROUP BY days.day""",
     # every length-20 gram via a lateral offset sweep; dup = in ≥2 docs;
     # substr is 1-based and codepoint-indexed, matching the engine's
     # utf8_slice_codeunits

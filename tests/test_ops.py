@@ -799,3 +799,36 @@ def test_cross_doc_dup_grams_matches_brute_force(ray_session):
            cross_doc_dup_grams(ds, "text", "doc_id", gram_len=L,
                                n_buckets=4).take_all()}
     assert got == want
+
+
+def test_trailing_active_counts_matches_brute_force(ray_session):
+    """Exploded-window distinct == brute-force trailing-window sets, incl.
+    day gaps (windows anchored only at present days) and multi-day users."""
+    import random
+    from collections import defaultdict
+
+    import pyarrow as pa
+
+    import ray.data
+    from ner_backend_ray.ops.window import trailing_active_counts
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(0, 40),
+             rng.choice([1, 2, 3, 5, 9, 17, 25, 33]) * 100 + rng.randrange(100))
+            for _ in range(400)]  # gappy day distribution
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64())})).repartition(5)
+
+    P, W = 100, 7
+    active = defaultdict(set)
+    for u, t in rows:
+        active[t // P].add(u)
+    days = sorted(active)
+    want = {d: len(set().union(*[active.get(d - o, set())
+                                 for o in range(W)]))
+            for d in days}
+    got = {r["day"]: r["n_active"] for r in
+           trailing_active_counts(ds, "user_id", "ts", period=P, window=W,
+                                  n_buckets=4).take_all()}
+    assert got == want
